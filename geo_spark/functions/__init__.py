@@ -1,0 +1,119 @@
+"""Spark SQL Column expression builders — the JVM-side fast path.
+
+Everything here compiles to built-in Catalyst expressions (whole-stage
+codegen, no Python), so the coarse phase of every spatial join — cell
+encoding, bbox prefilters, haversine distances — runs entirely JVM-side.
+Only the exact winding-number refine drops to a pandas UDF.
+
+Kernels mirrored here must match the numpy kernels bit-for-bit on the same
+inputs (tested in tests/test_functions_sql.py):
+
+- ``haversine_meters`` ⇄ kernels.measures.haversine_distance
+  (GRS80 R1 = 6_371_008.8, min(a,1) clamp — haversine.rs:266-277);
+- ``cell_encode_col`` ⇄ index.cells.cell_encode (Z-order bit-interleave,
+  unrolled magic-mask spreading — pure integer Column ops);
+- ``rhumb_meters`` ⇄ kernels.measures.rhumb_distance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MEAN_EARTH_RADIUS = 6_371_008.8
+_Z_BITS = 52
+
+
+def haversine_meters(lon1, lat1, lon2, lat2, radius: float = MEAN_EARTH_RADIUS) -> Column:
+    """Great-circle distance in meters as a pure SQL expression."""
+    lon1, lat1, lon2, lat2 = (F.col(c) if isinstance(c, str) else c for c in (lon1, lat1, lon2, lat2))
+    theta1 = F.radians(lat1)
+    theta2 = F.radians(lat2)
+    dtheta = F.radians(lat2 - lat1)
+    dlambda = F.radians(lon2 - lon1)
+    a = F.pow(F.sin(dtheta / 2), 2) + F.cos(theta1) * F.cos(theta2) * F.pow(
+        F.sin(dlambda / 2), 2
+    )
+    a = F.least(a, F.lit(1.0))
+    return F.lit(radius) * (F.lit(2.0) * F.asin(F.sqrt(a)))
+
+
+def rhumb_meters(lon1, lat1, lon2, lat2, radius: float = MEAN_EARTH_RADIUS) -> Column:
+    """Loxodrome distance in meters as a pure SQL expression."""
+    import math
+
+    lon1, lat1, lon2, lat2 = (F.col(c) if isinstance(c, str) else c for c in (lon1, lat1, lon2, lat2))
+    pi = F.lit(math.pi)
+    phi1 = F.radians(lat1)
+    phi2 = F.radians(lat2)
+    dl = F.radians(lon2 - lon1)
+    dl = F.when(dl > pi, dl - 2 * pi).when(dl < -pi, dl + 2 * pi).otherwise(dl)
+    # try_divide: the denominator is 0 at the south pole (degenerate rhumb)
+    dpsi = F.log(F.try_divide(F.tan(phi2 / 2 + pi / 4), F.tan(phi1 / 2 + pi / 4)))
+    dphi = phi2 - phi1
+    # try_divide: ANSI mode (Spark 4 default) raises on /0 even when the
+    # CASE branch is unreachable under whole-stage codegen
+    q = F.when(F.abs(dpsi) > 1e-11, F.try_divide(dphi, dpsi)).otherwise(F.cos(phi1))
+    delta = F.sqrt(dphi * dphi + q * q * dl * dl)
+    return delta * F.lit(radius)
+
+
+def _spread_bits_col(v: Column) -> Column:
+    """Spread low 26 bits into even positions (Z-order) with Column bit math."""
+    v = v.bitwiseAND(F.lit(0x3FFFFFF))
+    v = (v.bitwiseOR(F.shiftleft(v, 16))).bitwiseAND(F.lit(0x0000FFFF0000FFFF))
+    v = (v.bitwiseOR(F.shiftleft(v, 8))).bitwiseAND(F.lit(0x00FF00FF00FF00FF))
+    v = (v.bitwiseOR(F.shiftleft(v, 4))).bitwiseAND(F.lit(0x0F0F0F0F0F0F0F0F))
+    v = (v.bitwiseOR(F.shiftleft(v, 2))).bitwiseAND(F.lit(0x3333333333333333))
+    v = (v.bitwiseOR(F.shiftleft(v, 1))).bitwiseAND(F.lit(0x5555555555555555))
+    return v
+
+
+def cell_encode_col(lon, lat, res: int) -> Column:
+    """Z-order cell id at ``res`` — matches index.cells.cell_encode exactly."""
+    lon = F.col(lon) if isinstance(lon, str) else lon
+    lat = F.col(lat) if isinstance(lat, str) else lat
+    n = 1 << res
+    ix = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)))
+    iy = F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(n)))
+    ix = F.greatest(F.lit(0), F.least(ix, F.lit(n - 1))).cast("long")
+    iy = F.greatest(F.lit(0), F.least(iy, F.lit(n - 1))).cast("long")
+    z = _spread_bits_col(ix).bitwiseOR(F.shiftleft(_spread_bits_col(iy), 1))
+    return F.lit(res << _Z_BITS).bitwiseOR(z).cast("long")
+
+
+def cell_parent_col(cell, steps: int) -> Column:
+    """Parent cell id ``steps`` levels up — matches index.cells.cell_parent.
+
+    Implemented by decoding nothing: dropping 2*steps interleaved bits of the
+    z-order suffix and retagging the resolution prefix.
+    """
+    cell = F.col(cell) if isinstance(cell, str) else cell
+    res = F.shiftrightunsigned(cell, _Z_BITS)
+    z = cell.bitwiseAND(F.lit((1 << _Z_BITS) - 1))
+    new_z = F.shiftrightunsigned(z, 2 * steps)
+    return F.shiftleft(res - F.lit(steps), _Z_BITS).bitwiseOR(new_z).cast("long")
+
+
+def bbox_intersects(axmin, aymin, axmax, aymax, bxmin, bymin, bxmax, bymax) -> Column:
+    """AABB overlap predicate — the SQL-authored fast-reject conjunct that the
+    reference applies before exact predicates (``intersects/mod.rs:113-127``).
+    Catalyst pushes it below the exchange, pruning candidates pre-pUDF."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in
+            (axmin, aymin, axmax, aymax, bxmin, bymin, bxmax, bymax)]
+    axmin, aymin, axmax, aymax, bxmin, bymin, bxmax, bymax = cols
+    return (axmin <= bxmax) & (axmax >= bxmin) & (aymin <= bymax) & (aymax >= bymin)
+
+
+def bbox_contains_point(xmin, ymin, xmax, ymax, px, py) -> Column:
+    """bbox ∋ point prefilter (closed bounds)."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in (xmin, ymin, xmax, ymax, px, py)]
+    xmin, ymin, xmax, ymax, px, py = cols
+    return (px >= xmin) & (px <= xmax) & (py >= ymin) & (py <= ymax)
+
+
+def euclidean_meters(ax, ay, bx, by) -> Column:
+    """Planar distance as SQL."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in (ax, ay, bx, by)]
+    ax, ay, bx, by = cols
+    return F.sqrt((ax - bx) * (ax - bx) + (ay - by) * (ay - by))

@@ -1,0 +1,169 @@
+"""Point-in-polygon spatial join — the engine's flagship operator.
+
+Architecture (SURVEY.md §3.1 "Spark shape"):
+
+1. **coarse**: polygons are expanded into covering Z-order cells with an
+   exact full/partial classification (index.cells.cover_polygon — the
+   distributed stand-in for the reference's IntervalTreeMultiPolygon,
+   ``indexed/interval_tree_multipolygon.rs:91-202``); points get a cell id
+   via pure-SQL bit math (functions.cell_encode_col). The candidate join is
+   a plain equi-join on the cell id; with a broadcastable polygon side it is
+   a broadcast-hash join — zero shuffle of the (huge) point side.
+2. **bbox prefilter**: an authored SQL conjunct (px between xmin..xmax)
+   mirroring the reference's bbox fast-reject (``intersects/mod.rs:113-127``)
+   — Catalyst evaluates it JVM-side before any Python.
+3. **full-cell shortcut**: candidates whose cell is fully interior are
+   accepted without running the exact kernel (the distributed analogue of
+   the interior short-circuit at ``interval_tree_multipolygon.rs:153-158``).
+   On real-world polygon sets most matches take this path.
+4. **exact refine**: only partial-cell candidates enter a vectorized pandas
+   UDF running the robust winding-number kernel
+   (kernels.predicates.polygon_position) against a broadcast polygon dict,
+   deserialized once per executor (module-level memo).
+
+Scale notes: the point side is never shuffled (broadcast join + AQE);
+polygon-side explosion is bounded by ``max_cells_per_polygon``; hot cells
+don't skew this operator because the join key distribution only affects the
+broadcast-hash probe, not a shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from geo_spark.functions import bbox_contains_point, cell_encode_col
+from geo_spark.index.cells import cover_polygon, pick_cover_res
+
+# executor-side cache: broadcast id → {polygon_id: (ext, holes)}
+_BC_CACHE: dict = {}
+
+
+def _polygon_cover_rows(poly_rows, res: int):
+    rows = []
+    for r in poly_rows:
+        ext = np.asarray([(c["x"], c["y"]) for c in r["exterior"]], dtype=np.float64)
+        holes = [
+            np.asarray([(c["x"], c["y"]) for c in ring], dtype=np.float64)
+            for ring in (r["interiors"] or [])
+        ]
+        cells, full = cover_polygon(ext, holes, res=res)
+        for c, f in zip(cells.tolist(), full.tolist()):
+            rows.append((int(c), int(r["polygon_id"]), bool(f)))
+    return rows
+
+
+def choose_res(poly_rows, target_cells_per_polygon: int = 16, max_res: int = 14) -> int:
+    """Resolution whose cells are ~1/4 the linear size of a median polygon bbox."""
+    if not poly_rows:
+        return 6
+    widths = []
+    for r in poly_rows[:2048]:
+        widths.append(max(r["xmax"] - r["xmin"], (r["ymax"] - r["ymin"]) * 2.0, 1e-9))
+    med = float(np.median(widths))
+    for res in range(max_res, -1, -1):
+        if 360.0 / (1 << res) >= med / 4.0:
+            return res
+    return 0
+
+
+def pip_join_points_polygons(
+    points: DataFrame,
+    polygons: DataFrame,
+    predicate: str = "contains",
+    res: int | None = None,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    keep_position: bool = False,
+) -> DataFrame:
+    """Join point rows to the polygons that contain them.
+
+    ``predicate``: 'contains' (strict interior — Contains semantics,
+    ``contains/polygon.rs:17-21``), 'covers' / 'intersects' (boundary
+    included, ``covers/mod.rs:42``), or 'position' (keep all candidates with
+    the ternary position column).
+
+    The polygon side must fit in a broadcast (admin-boundary scale, ≤ ~1M
+    vertices total). Returns the point columns + ``polygon_id``
+    (+ ``position`` when requested).
+    """
+    spark = points.sparkSession
+    poly_rows = polygons.select(
+        "polygon_id", "exterior", "interiors", "xmin", "ymin", "xmax", "ymax"
+    ).collect()
+    if res is None:
+        res = choose_res(poly_rows)
+
+    cover_rows = _polygon_cover_rows(poly_rows, res)
+    cover_df = spark.createDataFrame(
+        cover_rows, schema="cell long, polygon_id long, full boolean"
+    )
+    bbox_df = spark.createDataFrame(
+        [
+            (int(r["polygon_id"]), float(r["xmin"]), float(r["ymin"]), float(r["xmax"]), float(r["ymax"]))
+            for r in poly_rows
+        ],
+        schema="polygon_id long, xmin double, ymin double, xmax double, ymax double",
+    )
+    cover_df = cover_df.join(bbox_df, "polygon_id")
+
+    geoms = {
+        int(r["polygon_id"]): (
+            np.asarray([(c["x"], c["y"]) for c in r["exterior"]], dtype=np.float64),
+            [
+                np.asarray([(c["x"], c["y"]) for c in ring], dtype=np.float64)
+                for ring in (r["interiors"] or [])
+            ],
+        )
+        for r in poly_rows
+    }
+    bc = spark.sparkContext.broadcast(geoms)
+    bc_key = f"pip:{id(bc)}:{len(geoms)}"
+
+    @F.pandas_udf(T.ByteType())
+    def position_udf(polygon_id: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
+        # deserialize the broadcast polygon table once per executor process
+        table = _BC_CACHE.get(bc_key)
+        if table is None:
+            table = bc.value
+            _BC_CACHE[bc_key] = table
+        from geo_spark.kernels.predicates import polygon_position
+
+        pid = polygon_id.to_numpy()
+        lo = lon.to_numpy(dtype=np.float64)
+        la = lat.to_numpy(dtype=np.float64)
+        out = np.full(len(pid), -1, dtype=np.int8)
+        for p in np.unique(pid):
+            mask = pid == p
+            ext, holes = table[int(p)]
+            out[mask] = polygon_position(lo[mask], la[mask], ext, holes)
+        return pd.Series(out)
+
+    pts = points.withColumn("_cell", cell_encode_col(lon_col, lat_col, res))
+    cand = pts.join(F.broadcast(cover_df), pts["_cell"] == cover_df["cell"], "inner")
+    cand = cand.filter(
+        bbox_contains_point("xmin", "ymin", "xmax", "ymax", lon_col, lat_col)
+    )
+    # full-cell shortcut: skip the exact kernel where the cell is interior.
+    # Split into two branches (not when/otherwise) so the pandas UDF provably
+    # only ever sees partial-cell candidates.
+    full_part = cand.filter(F.col("full")).withColumn("position", F.lit(1).cast("byte"))
+    partial_part = cand.filter(~F.col("full")).withColumn(
+        "position", position_udf(F.col("polygon_id"), F.col(lon_col), F.col(lat_col))
+    )
+    cand = full_part.unionByName(partial_part)
+
+    if predicate == "contains":
+        cand = cand.filter(F.col("position") == 1)
+    elif predicate in ("covers", "intersects"):
+        cand = cand.filter(F.col("position") >= 0)
+    elif predicate != "position":
+        raise ValueError(f"unknown predicate: {predicate}")
+
+    drop = ["_cell", "cell", "full", "xmin", "ymin", "xmax", "ymax"]
+    if not keep_position and predicate != "position":
+        drop.append("position")
+    return cand.drop(*drop)
