@@ -1,38 +1,460 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline (CC-style docs → point
+extraction → PIP join vs admin polygons → per-polygon counts).
+``queries()``/``oracle_sql()`` expose each implemented operator from
+SURVEY.md §2 with a DuckDB-checkable ANSI-SQL oracle.
+
+Determinism strategy for the value-hash gate: every float that crosses the
+Spark↔DuckDB boundary is either (a) produced by bit-identical IEEE double
+arithmetic on both sides (derived coordinates, planar distances, min/max),
+or (b) rounded/integerized where the engines' libm may differ in the final
+ulp (haversine → ROUND(,0); money sums → integer cents).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared deterministic point derivation (documents.doc_id → lon/lat)
+# The same integer arithmetic runs in Spark and DuckDB: multiplicative-hash
+# micro-degrees, a 25% hotspot (1°×1° at 10-20E band, exercising skew), and a
+# +1 nudge keeping every coordinate off the 10° grid lines.
+# ---------------------------------------------------------------------------
+
+_LON_MD = (
+    "CASE WHEN doc_id % 4 = 0 THEN 10000000 + (doc_id * 2654435761) % 1000000 "
+    "ELSE (doc_id * 2654435761) % 360000000 - 180000000 END"
+)
+_LAT_MD = (
+    "CASE WHEN doc_id % 4 = 0 THEN 50000000 + (doc_id * 2246822519) % 1000000 "
+    "ELSE (doc_id * 2246822519) % 180000000 - 90000000 END"
+)
+# CAST(... AS DOUBLE): Spark SQL parses the 1000000.0 literal as DECIMAL and
+# would propagate exact-decimal lon/lat; both engines must divide in binary
+# float64 so every downstream comparison is bit-identical.
+_PTS_CTE = f"""
+  SELECT doc_id,
+    CAST(CASE WHEN lon_md % 10000000 = 0 THEN lon_md + 1 ELSE lon_md END AS DOUBLE)
+      / CAST(1000000 AS DOUBLE) AS lon,
+    CAST(CASE WHEN lat_md % 10000000 = 0 THEN lat_md + 1 ELSE lat_md END AS DOUBLE)
+      / CAST(1000000 AS DOUBLE) AS lat
+  FROM (SELECT doc_id, {_LON_MD} AS lon_md, {_LAT_MD} AS lat_md FROM documents) t
+"""
+
+_GRID_PID = (
+    "CAST(FLOOR((lat + 90.0) / 10.0) AS BIGINT) * 36 "
+    "+ CAST(FLOOR((lon + 180.0) / 10.0) AS BIGINT)"
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _derived_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    docs.createOrReplaceTempView("documents")
+    return spark.sql(_PTS_CTE)
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synth CC docs → extract → PIP join vs admin grid → counts.
+
+    Uses the real text-extraction path (synth documents with geo: markers),
+    not the arithmetic derivation, so the whole pipeline is exercised.
+    """
+    from geo_spark.operators.extract import extract_points
+    from geo_spark.operators.pip_join import pip_join_points_polygons
+    from geo_spark.sources.documents import synth_admin_polygons, synth_documents
+
+    docs = synth_documents(spark, 5000)
+    pts = extract_points(docs)
+    polys = synth_admin_polygons(spark, grid_deg=10.0, with_holes=True)
+    joined = pip_join_points_polygons(pts, polys, predicate="contains")
+    return (
+        joined.groupBy("polygon_id")
+        .agg(F.count("*").alias("n_points"))
+        .orderBy(F.col("n_points").desc(), F.col("polygon_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
+
+
+def _q_pip_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_spark.operators.pip_join import pip_join_points_polygons
+    from geo_spark.sources.documents import synth_admin_polygons
+
+    pts = _derived_points(spark, sf_dir)
+    polys = synth_admin_polygons(spark, grid_deg=10.0, with_holes=False)
+    joined = pip_join_points_polygons(pts, polys, predicate="contains")
+    return joined.groupBy("polygon_id").agg(F.count("*").alias("n"))
+
+
+def _q_pip_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_spark.operators.pip_join import pip_join_points_polygons
+    from geo_spark.sources.documents import synth_admin_polygons
+
+    pts = _derived_points(spark, sf_dir)
+    polys = synth_admin_polygons(spark, grid_deg=10.0, with_holes=True)
+    joined = pip_join_points_polygons(pts, polys, predicate="contains")
+    return joined.groupBy("polygon_id").agg(F.count("*").alias("n"))
+
+
+def _q_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_spark.functions import haversine_meters
+
+    pts = _derived_points(spark, sf_dir)
+    return pts.select(
+        "doc_id",
+        F.round(haversine_meters("lon", "lat", F.lit(-74.006), F.lit(40.7128)), 0).alias(
+            "dist_m"
+        ),
+    )
+
+
+def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_spark.operators.knn_join import knn_join
+
+    pts = _derived_points(spark, sf_dir)
+    queries = pts.filter(F.col("doc_id") % 50 == 0).withColumnRenamed("doc_id", "qid")
+    targets = pts.withColumnRenamed("doc_id", "tid")
+    out = knn_join(
+        queries, targets, k=5, res=3, metric="planar_sq", exclude_self=True
+    )
+    return out.select("qid", "tid", F.col("dist").alias("dist_sq"), "rank")
+
+
+def _q_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_spark.operators.tile_agg import tile_counts
+
+    pts = _derived_points(spark, sf_dir)
+    return tile_counts(pts, res=4, salt_buckets=8).select("ix", "iy", "n")
+
+
+def _q_bbox_by_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_spark.operators.tile_agg import tile_counts
+
+    pts = _derived_points(spark, sf_dir)
+    return tile_counts(
+        pts,
+        res=2,
+        extra_aggs=[
+            F.min("lon").alias("xmin"),
+            F.min("lat").alias("ymin"),
+            F.max("lon").alias("xmax"),
+            F.max("lat").alias("ymax"),
+        ],
+    ).select("ix", "iy", "n", "xmin", "ymin", "xmax", "ymax")
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_spark.operators.textstats import token_stats
+
+    return token_stats(_docs(spark, sf_dir))
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_spark.operators.textstats import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_spark.operators.textstats import language_id
+
+    return language_id(_docs(spark, sf_dir))
+
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_spark.operators.ann import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = cosine_topk(emb, queries, k=10)
+    return out.select("qid", "vec_id", F.round("cosine", 6).alias("cos_r"), "rank")
+
+
+def _q_agg_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")).alias(
+            "sum_base_cents"
+        ),
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1000000, 0
+            ).cast("bigint")
+        ).alias("revenue_micros"),
+        F.count("*").alias("count_order"),
+    )
+
+
+def _q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+def _q_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name", "c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias(
+                "total_cents"
+            ),
+        )
+    )
+
+
+def _q_events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 1000000, 0).cast("bigint")).alias("value_micros"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pip_contains_grid10": _q_pip_grid,
+        "pip_contains_holes": _q_pip_holes,
+        "haversine_to_nyc": _q_haversine,
+        "knn_planar_k5": _q_knn,
+        "tile_counts_r4": _q_tiles,
+        "bbox_by_tile_r2": _q_bbox_by_tile,
+        "dedup_exact": _q_dedup_exact,
+        "token_stats": _q_token_stats,
+        "quality_score": _q_quality,
+        "language_id": _q_langid,
+        "cosine_topk": _q_cosine_topk,
+        "agg_lineitem": _q_agg_lineitem,
+        "top_customers_window": _q_top_customers,
+        "join_enrich": _q_join_enrich,
+        "events_agg": _q_events_agg,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_HOLE_FILTER = """
+  NOT (
+    pid % 17 = 0
+    AND lon >= -180.0 + (pid % 36) * 10.0 + 4.0
+    AND lon <= -180.0 + (pid % 36) * 10.0 + 6.0
+    AND lat >= -90.0 + CAST(FLOOR(pid / 36.0) AS BIGINT) * 10.0 + 4.0
+    AND lat <= -90.0 + CAST(FLOOR(pid / 36.0) AS BIGINT) * 10.0 + 6.0
+  )
+"""
+
+_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+_LANG_MARKERS = {
+    "de": ["der", "die", "und", "ist", "das"],
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "los", "que", "de"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "nl": ["de", "het", "een", "en", "van"],
+}
+
+
+def _lang_hits_sql(lang: str) -> str:
+    toks = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+    return " + ".join(
+        f"CAST(list_contains({toks}, '{w}') AS INT)" for w in _LANG_MARKERS[lang]
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    pts = f"WITH pts AS ({_PTS_CTE})"
+    lang_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN h_{lang} >= GREATEST(h_de, h_en, h_es, h_fr, h_nl) THEN '{lang}'"
+            for lang in ["nl", "fr", "es", "en", "de"]
+        )
+        + " END"
+    )
+    return {
+        "pip_contains_grid10": f"""
+            {pts}
+            SELECT pid AS polygon_id, COUNT(*) AS n
+            FROM (SELECT {_GRID_PID} AS pid, lon, lat FROM pts) g
+            GROUP BY pid
+        """,
+        "pip_contains_holes": f"""
+            {pts}
+            SELECT pid AS polygon_id, COUNT(*) AS n
+            FROM (SELECT {_GRID_PID} AS pid, lon, lat FROM pts) g
+            WHERE {_HOLE_FILTER}
+            GROUP BY pid
+        """,
+        "haversine_to_nyc": f"""
+            {pts}
+            SELECT doc_id,
+              ROUND(2.0 * 6371008.8 * ASIN(SQRT(LEAST(
+                POW(SIN(RADIANS(40.7128 - lat) / 2), 2)
+                + COS(RADIANS(lat)) * COS(RADIANS(40.7128))
+                  * POW(SIN(RADIANS(-74.006 - lon) / 2), 2), 1.0))), 0) AS dist_m
+            FROM pts
+        """,
+        "knn_planar_k5": f"""
+            {pts},
+            q AS (SELECT * FROM pts WHERE doc_id % 50 = 0),
+            cand AS (
+              SELECT q.doc_id AS qid, t.doc_id AS tid,
+                     (q.lon - t.lon) * (q.lon - t.lon)
+                     + (q.lat - t.lat) * (q.lat - t.lat) AS dist_sq
+              FROM q, pts t WHERE t.doc_id <> q.doc_id
+            ),
+            ranked AS (
+              SELECT qid, tid, dist_sq,
+                     ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist_sq, tid) AS rank
+              FROM cand
+            )
+            SELECT qid, tid, dist_sq, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5
+        """,
+        "tile_counts_r4": f"""
+            {pts}
+            SELECT CAST(FLOOR((lon + 180.0) / 360.0 * 16) AS BIGINT) AS ix,
+                   CAST(FLOOR((lat + 90.0) / 180.0 * 16) AS BIGINT) AS iy,
+                   COUNT(*) AS n
+            FROM pts GROUP BY 1, 2
+        """,
+        "bbox_by_tile_r2": f"""
+            {pts}
+            SELECT CAST(FLOOR((lon + 180.0) / 360.0 * 4) AS BIGINT) AS ix,
+                   CAST(FLOOR((lat + 90.0) / 180.0 * 4) AS BIGINT) AS iy,
+                   COUNT(*) AS n,
+                   MIN(lon) AS xmin, MIN(lat) AS ymin,
+                   MAX(lon) AS xmax, MAX(lat) AS ymax
+            FROM pts GROUP BY 1, 2
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+            FROM documents GROUP BY 1
+        """,
+        "token_stats": f"""
+            SELECT doc_id,
+                   CAST(LENGTH(text) AS INT) AS n_chars,
+                   CAST(LEN({_TOKS}) AS INT) AS n_tokens,
+                   CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS INT) AS n_spaces,
+                   CASE WHEN LEN({_TOKS}) > 0 THEN
+                     CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / LEN({_TOKS})
+                   ELSE 0.0 END AS avg_token_len
+            FROM documents
+        """,
+        "quality_score": f"""
+            SELECT doc_id,
+                   CAST(LEN({_TOKS}) AS INT) AS n_tokens,
+                   CAST(LEN(string_split(text, '.')) - 1 AS INT) AS n_periods,
+                   ({_lang_hits_sql('en')}) AS stop_hits,
+                   ((CASE WHEN LEN({_TOKS}) >= 10 AND LEN({_TOKS}) <= 10000
+                          THEN 1.0 ELSE 0.3 END)
+                    + (CASE WHEN LEN(string_split(text, '.')) - 1 > 0 THEN 1.0 ELSE 0.5 END)
+                    + (CASE WHEN ({_lang_hits_sql('en')}) > 0 THEN 1.0 ELSE 0.5 END)
+                   ) / 3.0 AS quality
+            FROM documents
+        """,
+        "language_id": f"""
+            SELECT doc_id, {lang_case} AS pred_lang,
+                   CAST(GREATEST(h_de, h_en, h_es, h_fr, h_nl) AS INT) AS marker_hits
+            FROM (
+              SELECT doc_id,
+                     {_lang_hits_sql('de')} AS h_de,
+                     {_lang_hits_sql('en')} AS h_en,
+                     {_lang_hits_sql('es')} AS h_es,
+                     {_lang_hits_sql('fr')} AS h_fr,
+                     {_lang_hits_sql('nl')} AS h_nl
+              FROM documents
+            ) t
+        """,
+        "cosine_topk": """
+            WITH q AS (
+              SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id % 100 = 0
+            ),
+            cand AS (
+              SELECT q.qid, e.vec_id,
+                     list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS cosine
+              FROM q, embeddings e
+            ),
+            ranked AS (
+              SELECT qid, vec_id, ROUND(cosine, 6) AS cos_r,
+                     ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+              FROM cand
+            )
+            SELECT qid, vec_id, cos_r, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 10
+        """,
+        "agg_lineitem": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 1000000, 0) AS BIGINT)) AS BIGINT) AS revenue_micros,
+                   COUNT(*) AS count_order
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "top_customers_window": """
+            SELECT o_custkey, o_orderkey, CAST(rn AS INT) AS rn FROM (
+              SELECT o_custkey, o_orderkey,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+              FROM orders
+            ) t WHERE rn <= 3
+        """,
+        "join_enrich": """
+            SELECT n_name, c_mktsegment, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1, 2
+        """,
+        "events_agg": """
+            SELECT user_id, event_type, COUNT(*) AS n,
+                   CAST(SUM(CAST(ROUND(value * 1000000, 0) AS BIGINT)) AS BIGINT) AS value_micros
+            FROM events GROUP BY 1, 2
+        """,
+    }

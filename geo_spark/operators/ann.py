@@ -1,0 +1,125 @@
+"""Approximate / exact nearest-neighbor search over embedding columns.
+
+- ``cosine_topk``: brute-force exact top-k by cosine similarity. The dot
+  product and norms are higher-order SQL (`aggregate`/`zip_with`) — JVM-side,
+  no Python. Scale path: the query side is broadcast (queries ≪ corpus), so
+  the corpus is scanned once with no shuffle; top-k is a window per query.
+- ``lsh_topk``: random-hyperplane LSH (sign sketch, fixed seed) bucketing the
+  corpus; queries probe their own bucket (+ optional multi-probe neighbors
+  at Hamming distance 1), then exact-rescore within candidates. At 100 TB
+  the bucket join replaces the full scan with a hash-partitioned equi-join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v.cast("double"),
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + (v * v).cast("double"))
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine similarity (brute force).
+
+    Returns (qid, vec_id, cosine, rank), rank 1..k by descending cosine,
+    ties broken by ascending corpus id.
+    """
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qvec")
+    )
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cvec"))
+    joined = c.crossJoin(F.broadcast(q))
+    denom = _norm(F.col("_qvec")) * _norm(F.col("_cvec"))
+    cos = F.when(denom == 0, F.lit(0.0)).otherwise(_dot(F.col("_qvec"), F.col("_cvec")) / denom)
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        joined.withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("_qvec", "_cvec")
+    )
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_bits, dim)).astype(np.float64)
+
+
+def sign_sketch_udf(dim: int, n_bits: int = 16, seed: int = 42):
+    """pandas UDF: embedding → int64 random-hyperplane sign sketch."""
+    H = _hyperplanes(dim, n_bits, seed)
+
+    @F.pandas_udf(T.LongType())
+    def sketch(vec: pd.Series) -> pd.Series:
+        M = np.asarray([np.asarray(v, dtype=np.float64) for v in vec])
+        signs = (M @ H.T) > 0  # (n, n_bits)
+        weights = (1 << np.arange(n_bits, dtype=np.int64))[None, :]
+        return pd.Series((signs * weights).sum(axis=1).astype(np.int64))
+
+    return sketch
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    n_bits: int = 12,
+    multiprobe: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+) -> DataFrame:
+    """LSH-bucketed ANN: bucket equi-join + exact cosine rescore.
+
+    Recall < 1 by design; rank/tie semantics match ``cosine_topk`` within the
+    candidate set.
+    """
+    sketch = sign_sketch_udf(dim, n_bits)
+    c = corpus.select(id_col, F.col(vec_col).alias("_cvec")).withColumn(
+        "bucket", sketch(F.col("_cvec"))
+    )
+    q = queries.select(query_id_col, F.col(vec_col).alias("_qvec")).withColumn(
+        "bucket0", sketch(F.col("_qvec"))
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket0"),
+            *[F.col("bucket0").bitwiseXOR(F.lit(1 << b)) for b in range(n_bits)],
+        )
+        q = q.withColumn("bucket", F.explode(probes))
+    else:
+        q = q.withColumn("bucket", F.col("bucket0"))
+    cand = q.join(c, "bucket").drop("bucket", "bucket0")
+    denom = _norm(F.col("_qvec")) * _norm(F.col("_cvec"))
+    cos = F.when(denom == 0, F.lit(0.0)).otherwise(_dot(F.col("_qvec"), F.col("_cvec")) / denom)
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        cand.withColumn("cosine", cos)
+        .dropDuplicates([query_id_col, id_col])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("_qvec", "_cvec")
+    )

@@ -26,16 +26,24 @@ def extract_points(documents: DataFrame, keep_text: bool = False) -> DataFrame:
     ``keep_text=True`` also carries ``text`` through unmodified so the
     byte-identity invariant can be checked downstream.
     """
-    lats = F.regexp_extract_all("text", F.lit(MARKER_RE), 1)
-    lons = F.regexp_extract_all("text", F.lit(MARKER_RE), 2)
-    pairs = F.arrays_zip(lats.alias("lat_md"), lons.alias("lon_md"))
+    # single regex pass (group 0 = whole marker), then cheap substring splits
+    # — regexp_extract_all is the dominant CPU cost of the pipeline, one pass
+    # instead of two nearly halves extraction time
+    markers = F.regexp_extract_all("text", F.lit(MARKER_RE), 0)
     cols = ["url"]
     if keep_text:
         cols.append("text")
     exploded = (
-        documents.select(*cols, F.posexplode(pairs).alias("point_idx", "p"))
-        .withColumn("lon", F.col("p.lon_md").cast("long") / F.lit(1_000_000.0))
-        .withColumn("lat", F.col("p.lat_md").cast("long") / F.lit(1_000_000.0))
-        .drop("p")
+        documents.select(*cols, F.posexplode(markers).alias("point_idx", "m"))
+        .withColumn("_body", F.substring(F.col("m"), 5, 64))  # strip 'geo:'
+        .withColumn(
+            "lat",
+            F.substring_index("_body", ",", 1).cast("long") / F.lit(1_000_000.0),
+        )
+        .withColumn(
+            "lon",
+            F.substring_index("_body", ",", -1).cast("long") / F.lit(1_000_000.0),
+        )
+        .drop("m", "_body")
     )
     return exploded

@@ -43,6 +43,8 @@ _BC_CACHE: dict = {}
 
 
 def _polygon_cover_rows(poly_rows, res: int):
+    """(cell, polygon_id, full, xmin, ymin, xmax, ymax) rows — bbox inlined so
+    the broadcast side is a single local relation (no prep join)."""
     rows = []
     for r in poly_rows:
         ext = np.asarray([(c["x"], c["y"]) for c in r["exterior"]], dtype=np.float64)
@@ -51,8 +53,9 @@ def _polygon_cover_rows(poly_rows, res: int):
             for ring in (r["interiors"] or [])
         ]
         cells, full = cover_polygon(ext, holes, res=res)
+        bb = (float(r["xmin"]), float(r["ymin"]), float(r["xmax"]), float(r["ymax"]))
         for c, f in zip(cells.tolist(), full.tolist()):
-            rows.append((int(c), int(r["polygon_id"]), bool(f)))
+            rows.append((int(c), int(r["polygon_id"]), bool(f)) + bb)
     return rows
 
 
@@ -99,16 +102,10 @@ def pip_join_points_polygons(
 
     cover_rows = _polygon_cover_rows(poly_rows, res)
     cover_df = spark.createDataFrame(
-        cover_rows, schema="cell long, polygon_id long, full boolean"
+        cover_rows,
+        schema="cell long, polygon_id long, full boolean, "
+        "xmin double, ymin double, xmax double, ymax double",
     )
-    bbox_df = spark.createDataFrame(
-        [
-            (int(r["polygon_id"]), float(r["xmin"]), float(r["ymin"]), float(r["xmax"]), float(r["ymax"]))
-            for r in poly_rows
-        ],
-        schema="polygon_id long, xmin double, ymin double, xmax double, ymax double",
-    )
-    cover_df = cover_df.join(bbox_df, "polygon_id")
 
     geoms = {
         int(r["polygon_id"]): (
@@ -124,7 +121,9 @@ def pip_join_points_polygons(
     bc_key = f"pip:{id(bc)}:{len(geoms)}"
 
     @F.pandas_udf(T.ByteType())
-    def position_udf(polygon_id: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
+    def position_udf(
+        polygon_id: pd.Series, lon: pd.Series, lat: pd.Series, full: pd.Series
+    ) -> pd.Series:
         # deserialize the broadcast polygon table once per executor process
         table = _BC_CACHE.get(bc_key)
         if table is None:
@@ -135,11 +134,16 @@ def pip_join_points_polygons(
         pid = polygon_id.to_numpy()
         lo = lon.to_numpy(dtype=np.float64)
         la = lat.to_numpy(dtype=np.float64)
-        out = np.full(len(pid), -1, dtype=np.int8)
-        for p in np.unique(pid):
-            mask = pid == p
-            ext, holes = table[int(p)]
-            out[mask] = polygon_position(lo[mask], la[mask], ext, holes)
+        is_full = full.to_numpy(dtype=bool)
+        out = np.ones(len(pid), dtype=np.int8)  # full cells are Inside
+        todo = ~is_full
+        if todo.any():
+            pid_t = pid[todo]
+            idx_t = np.flatnonzero(todo)
+            for p in np.unique(pid_t):
+                mask = idx_t[pid_t == p]
+                ext, holes = table[int(p)]
+                out[mask] = polygon_position(lo[mask], la[mask], ext, holes)
         return pd.Series(out)
 
     pts = points.withColumn("_cell", cell_encode_col(lon_col, lat_col, res))
@@ -147,14 +151,14 @@ def pip_join_points_polygons(
     cand = cand.filter(
         bbox_contains_point("xmin", "ymin", "xmax", "ymax", lon_col, lat_col)
     )
-    # full-cell shortcut: skip the exact kernel where the cell is interior.
-    # Split into two branches (not when/otherwise) so the pandas UDF provably
-    # only ever sees partial-cell candidates.
-    full_part = cand.filter(F.col("full")).withColumn("position", F.lit(1).cast("byte"))
-    partial_part = cand.filter(~F.col("full")).withColumn(
-        "position", position_udf(F.col("polygon_id"), F.col(lon_col), F.col(lat_col))
+    # full-cell shortcut: one pass — the UDF receives the `full` flag and
+    # masks out the winding kernel for interior cells (Arrow still ships the
+    # row, ~25 bytes, but no Python math runs for it). A filter/union split
+    # would re-scan the upstream source twice.
+    cand = cand.withColumn(
+        "position",
+        position_udf(F.col("polygon_id"), F.col(lon_col), F.col(lat_col), F.col("full")),
     )
-    cand = full_part.unionByName(partial_part)
 
     if predicate == "contains":
         cand = cand.filter(F.col("position") == 1)

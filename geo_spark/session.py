@@ -32,7 +32,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # large Arrow batches: fewer Python round trips per partition; the
+        # vectorized kernels want big batches (~65k rows ≈ 2 MB of coords)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # smaller file splits → enough scan tasks to feed 32 cores on the
+        # medium-sized bench inputs (default 128 MB starves local[32])
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
