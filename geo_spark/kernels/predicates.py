@@ -32,7 +32,11 @@ _EPS = np.finfo(np.float64).eps / 2.0  # 2^-53, Shewchuk's epsilon
 _CCW_ERRBOUND = (3.0 + 16.0 * _EPS) * _EPS
 
 # Max number of float64 cells in one points-x-edges block before chunking.
-_BLOCK_CELLS = 4_000_000
+# Kept small (~2 MB per temp array) so the winding kernel's temporaries stay
+# in L2/L3 and malloc reuses buffers instead of mmap/munmap round trips —
+# 32 concurrent workers each allocating 300 MB blocks caused page-fault
+# storms that destroyed multi-core scaling.
+_BLOCK_CELLS = 262_144
 
 
 def _exact_orient_sign(ax: float, ay: float, bx: float, by: float, cx: float, cy: float) -> int:

@@ -81,6 +81,7 @@ def pip_join_points_polygons(
     lon_col: str = "lon",
     lat_col: str = "lat",
     keep_position: bool = False,
+    refine: str = "pandas",
 ) -> DataFrame:
     """Join point rows to the polygons that contain them.
 
@@ -101,64 +102,107 @@ def pip_join_points_polygons(
         res = choose_res(poly_rows)
 
     cover_rows = _polygon_cover_rows(poly_rows, res)
-    cover_df = spark.createDataFrame(
-        cover_rows,
-        schema="cell long, polygon_id long, full boolean, "
-        "xmin double, ymin double, xmax double, ymax double",
-    )
-
-    geoms = {
-        int(r["polygon_id"]): (
-            np.asarray([(c["x"], c["y"]) for c in r["exterior"]], dtype=np.float64),
-            [
-                np.asarray([(c["x"], c["y"]) for c in ring], dtype=np.float64)
-                for ring in (r["interiors"] or [])
-            ],
+    if refine == "sql":
+        # Catalyst-native refine: partial cells carry the polygon geometry
+        # through the broadcast; full cells carry NULL (no geometry needed).
+        geo_by_pid = {
+            int(r["polygon_id"]): (
+                [[c["x"], c["y"]] for c in r["exterior"]],
+                [[[c["x"], c["y"]] for c in ring] for ring in (r["interiors"] or [])],
+            )
+            for r in poly_rows
+        }
+        sql_rows = []
+        for cell, pid, full, x0, y0, x1, y1 in cover_rows:
+            ext, holes = (None, None) if full else geo_by_pid[pid]
+            sql_rows.append((cell, pid, full, x0, y0, x1, y1, ext, holes))
+        cover_df = spark.createDataFrame(
+            sql_rows,
+            schema="cell long, polygon_id long, full boolean, "
+            "xmin double, ymin double, xmax double, ymax double, "
+            "exterior array<struct<x:double,y:double>>, "
+            "interiors array<array<struct<x:double,y:double>>>",
         )
-        for r in poly_rows
-    }
-    bc = spark.sparkContext.broadcast(geoms)
-    bc_key = f"pip:{id(bc)}:{len(geoms)}"
-
-    @F.pandas_udf(T.ByteType())
-    def position_udf(
-        polygon_id: pd.Series, lon: pd.Series, lat: pd.Series, full: pd.Series
-    ) -> pd.Series:
-        # deserialize the broadcast polygon table once per executor process
-        table = _BC_CACHE.get(bc_key)
-        if table is None:
-            table = bc.value
-            _BC_CACHE[bc_key] = table
-        from geo_spark.kernels.predicates import polygon_position
-
-        pid = polygon_id.to_numpy()
-        lo = lon.to_numpy(dtype=np.float64)
-        la = lat.to_numpy(dtype=np.float64)
-        is_full = full.to_numpy(dtype=bool)
-        out = np.ones(len(pid), dtype=np.int8)  # full cells are Inside
-        todo = ~is_full
-        if todo.any():
-            pid_t = pid[todo]
-            idx_t = np.flatnonzero(todo)
-            for p in np.unique(pid_t):
-                mask = idx_t[pid_t == p]
-                ext, holes = table[int(p)]
-                out[mask] = polygon_position(lo[mask], la[mask], ext, holes)
-        return pd.Series(out)
+    else:
+        cover_df = spark.createDataFrame(
+            cover_rows,
+            schema="cell long, polygon_id long, full boolean, "
+            "xmin double, ymin double, xmax double, ymax double",
+        )
 
     pts = points.withColumn("_cell", cell_encode_col(lon_col, lat_col, res))
     cand = pts.join(F.broadcast(cover_df), pts["_cell"] == cover_df["cell"], "inner")
     cand = cand.filter(
         bbox_contains_point("xmin", "ymin", "xmax", "ymax", lon_col, lat_col)
     )
-    # full-cell shortcut: one pass — the UDF receives the `full` flag and
-    # masks out the winding kernel for interior cells (Arrow still ships the
-    # row, ~25 bytes, but no Python math runs for it). A filter/union split
-    # would re-scan the upstream source twice.
-    cand = cand.withColumn(
-        "position",
-        position_udf(F.col("polygon_id"), F.col(lon_col), F.col(lat_col), F.col("full")),
-    )
+
+    drop = ["_cell", "cell", "full", "xmin", "ymin", "xmax", "ymax"]
+
+    if refine == "sql":
+        # full-cell shortcut stays JVM-side: NULL geometry means "interior"
+        from geo_spark.functions import polygon_position_sql
+
+        cand = cand.withColumn(
+            "position",
+            F.when(F.col("full"), F.lit(1).cast("byte")).otherwise(
+                polygon_position_sql(
+                    F.col(lon_col), F.col(lat_col), "exterior", "interiors"
+                )
+            ),
+        )
+        drop += ["exterior", "interiors"]
+    elif refine == "pandas":
+        geoms = {
+            int(r["polygon_id"]): (
+                np.asarray([(c["x"], c["y"]) for c in r["exterior"]], dtype=np.float64),
+                [
+                    np.asarray([(c["x"], c["y"]) for c in ring], dtype=np.float64)
+                    for ring in (r["interiors"] or [])
+                ],
+            )
+            for r in poly_rows
+        }
+        bc = spark.sparkContext.broadcast(geoms)
+        bc_key = f"pip:{id(bc)}:{len(geoms)}"
+
+        @F.pandas_udf(T.ByteType())
+        def position_udf(
+            polygon_id: pd.Series, lon: pd.Series, lat: pd.Series, full: pd.Series
+        ) -> pd.Series:
+            # deserialize the broadcast polygon table once per executor process
+            table = _BC_CACHE.get(bc_key)
+            if table is None:
+                table = bc.value
+                _BC_CACHE[bc_key] = table
+            from geo_spark.kernels.predicates import polygon_position
+
+            pid = polygon_id.to_numpy()
+            lo = lon.to_numpy(dtype=np.float64)
+            la = lat.to_numpy(dtype=np.float64)
+            is_full = full.to_numpy(dtype=bool)
+            out = np.ones(len(pid), dtype=np.int8)  # full cells are Inside
+            todo = ~is_full
+            if todo.any():
+                pid_t = pid[todo]
+                idx_t = np.flatnonzero(todo)
+                for p in np.unique(pid_t):
+                    mask = idx_t[pid_t == p]
+                    ext, holes = table[int(p)]
+                    out[mask] = polygon_position(lo[mask], la[mask], ext, holes)
+            return pd.Series(out)
+
+        # full-cell shortcut: one pass — the UDF receives the `full` flag and
+        # masks out the winding kernel for interior cells (Arrow still ships
+        # the row, ~25 bytes, but no Python math runs for it). A filter/union
+        # split would re-scan the upstream source twice.
+        cand = cand.withColumn(
+            "position",
+            position_udf(
+                F.col("polygon_id"), F.col(lon_col), F.col(lat_col), F.col("full")
+            ),
+        )
+    else:
+        raise ValueError(f"unknown refine: {refine}")
 
     if predicate == "contains":
         cand = cand.filter(F.col("position") == 1)
@@ -167,7 +211,6 @@ def pip_join_points_polygons(
     elif predicate != "position":
         raise ValueError(f"unknown predicate: {predicate}")
 
-    drop = ["_cell", "cell", "full", "xmin", "ymin", "xmax", "ymax"]
     if not keep_position and predicate != "position":
         drop.append("position")
     return cand.drop(*drop)

@@ -120,3 +120,43 @@ def test_pip_join_intersects_includes_boundary(spark):
     covers = {r["url"] for r in pip_join_points_polygons(pts, one, "covers").collect()}
     assert contains == {"inside"}
     assert covers == {"corner", "edge", "inside"}
+
+
+def test_sql_refine_matches_pandas_refine(spark, docs, polys):
+    pts = extract_points(docs)
+    a = (
+        pip_join_points_polygons(pts, polys, predicate="contains", refine="pandas")
+        .groupBy("polygon_id").count().collect()
+    )
+    b = (
+        pip_join_points_polygons(pts, polys, predicate="contains", refine="sql")
+        .groupBy("polygon_id").count().collect()
+    )
+    assert {r["polygon_id"]: r["count"] for r in a} == {
+        r["polygon_id"]: r["count"] for r in b
+    }
+
+
+def test_sql_refine_boundary_and_holes(spark):
+    polys = synth_admin_polygons(spark, grid_deg=10.0)
+    pts = spark.createDataFrame(
+        [
+            ("in_ring", -179.0, -89.0),
+            ("in_hole", -175.0, -85.0),
+            ("on_hole_edge", -176.0, -85.0),
+            ("on_outer_edge", -180.0, -85.0),
+            ("outside", -100.0, 0.0),
+        ],
+        schema="url string, lon double, lat double",
+    )
+    one = polys.filter("polygon_id = 0")
+    got = {
+        r["url"]: r["position"]
+        for r in pip_join_points_polygons(
+            pts, one, predicate="position", refine="sql"
+        ).collect()
+    }
+    assert got["in_ring"] == 1
+    assert got["in_hole"] == -1
+    assert got["on_hole_edge"] == 0
+    assert got["on_outer_edge"] == 0
