@@ -1,0 +1,232 @@
+"""Column-level scalar geometry operators over array<struct<x,y>> columns.
+
+The DataFrame surface for the §2.3/2.4 construction + conversion operators:
+each takes/returns plain Spark columns so Catalyst keeps pruning and
+pushdown; kernels run as vectorized pandas UDFs over Arrow batches (one
+numpy call per row's coord array — rows are whole geometries here, so the
+batch-of-arrays shape is the natural vectorization unit).
+
+Affine transforms and radians/degrees stay pure-SQL (`F.transform` over the
+coord array — JVM-side, no Python).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+COORDS_TYPE = T.ArrayType(
+    T.StructType([T.StructField("x", T.DoubleType()), T.StructField("y", T.DoubleType())])
+)
+
+
+def _to_np(arr) -> np.ndarray:
+    if arr is None or len(arr) == 0:
+        return np.empty((0, 2), dtype=np.float64)
+    return np.asarray([(c["x"], c["y"]) for c in arr], dtype=np.float64)
+
+
+def _to_rows(coords: np.ndarray):
+    return [{"x": float(x), "y": float(y)} for x, y in coords]
+
+
+def _lift_coords_fn(fn):
+    """Lift a numpy (n,2)->(m,2) kernel into a coords-column pandas UDF."""
+
+    @F.pandas_udf(COORDS_TYPE)
+    def udf(coords: pd.Series, *params: pd.Series) -> pd.Series:
+        out = []
+        for i, arr in enumerate(coords):
+            args = [p.iloc[i] for p in params]
+            out.append(_to_rows(fn(_to_np(arr), *args)))
+        return pd.Series(out)
+
+    return udf
+
+
+def simplify_rdp(coords: Column, epsilon) -> Column:
+    from geo_spark.kernels.simplify import rdp
+
+    return _lift_coords_fn(rdp)(coords, F.lit(epsilon).cast("double"))
+
+
+def simplify_vw(coords: Column, epsilon) -> Column:
+    from geo_spark.kernels.simplify import visvalingam
+
+    return _lift_coords_fn(visvalingam)(coords, F.lit(epsilon).cast("double"))
+
+
+def chaikin(coords: Column, n_iterations: int = 1) -> Column:
+    from geo_spark.kernels.simplify import chaikin_smoothing
+
+    return _lift_coords_fn(chaikin_smoothing)(coords, F.lit(n_iterations))
+
+
+def densify(coords: Column, max_segment_length) -> Column:
+    from geo_spark.kernels.lines import densify as _densify
+
+    return _lift_coords_fn(_densify)(coords, F.lit(max_segment_length).cast("double"))
+
+
+def remove_repeated(coords: Column) -> Column:
+    """Pure SQL: drop consecutive duplicates with a filter over indices."""
+    c = coords
+    idx = F.sequence(F.lit(0), F.size(c) - 1)
+    keep = F.filter(
+        idx,
+        lambda i: (i == 0)
+        | (F.element_at(c, i + 1)["x"] != F.element_at(c, i)["x"])
+        | (F.element_at(c, i + 1)["y"] != F.element_at(c, i)["y"]),
+    )
+    return F.transform(keep, lambda i: F.element_at(c, i + 1))
+
+
+def interpolate_point(coords: Column, fraction) -> Column:
+    from geo_spark.kernels.lines import line_interpolate_point
+
+    @F.pandas_udf("struct<x:double,y:double>")
+    def udf(arrs: pd.Series, fr: pd.Series) -> pd.DataFrame:
+        xs, ys = [], []
+        for i, arr in enumerate(arrs):
+            p = line_interpolate_point(_to_np(arr), float(fr.iloc[i]))
+            xs.append(None if p is None else p[0])
+            ys.append(None if p is None else p[1])
+        return pd.DataFrame({"x": xs, "y": ys})
+
+    return udf(coords, F.lit(fraction).cast("double"))
+
+
+def locate_point(coords: Column, px, py) -> Column:
+    from geo_spark.kernels.lines import line_locate_point
+
+    @F.pandas_udf(T.DoubleType())
+    def udf(arrs: pd.Series, xs: pd.Series, ys: pd.Series) -> pd.Series:
+        out = []
+        for i, arr in enumerate(arrs):
+            out.append(line_locate_point(_to_np(arr), float(xs.iloc[i]), float(ys.iloc[i])))
+        return pd.Series(out, dtype="float64")
+
+    px = F.lit(px).cast("double") if not isinstance(px, Column) else px
+    py = F.lit(py).cast("double") if not isinstance(py, Column) else py
+    return udf(coords, px, py)
+
+
+def substring_line(coords: Column, start, end) -> Column:
+    from geo_spark.kernels.lines import substring as _substring
+
+    return _lift_coords_fn(_substring)(
+        coords, F.lit(start).cast("double"), F.lit(end).cast("double")
+    )
+
+
+def frechet(coords_a: Column, coords_b: Column) -> Column:
+    from geo_spark.kernels.lines import frechet_distance
+
+    @F.pandas_udf(T.DoubleType())
+    def udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [frechet_distance(_to_np(x), _to_np(y)) for x, y in zip(a, b)]
+        )
+
+    return udf(coords_a, coords_b)
+
+
+def hausdorff(coords_a: Column, coords_b: Column) -> Column:
+    from geo_spark.kernels.lines import hausdorff_distance
+
+    @F.pandas_udf(T.DoubleType())
+    def udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [hausdorff_distance(_to_np(x), _to_np(y)) for x, y in zip(a, b)]
+        )
+
+    return udf(coords_a, coords_b)
+
+
+def ring_area_sql(coords: Column) -> Column:
+    """Signed ring area as pure SQL — shifted shoelace via `aggregate`
+    (mirrors area.rs:23-52 incl. the first-coordinate shift)."""
+    c = coords
+    x0 = F.element_at(c, 1)["x"]
+    y0 = F.element_at(c, 1)["y"]
+    idx = F.sequence(F.lit(2), F.greatest(F.size(c) - 1, F.lit(2)))
+    twice = F.aggregate(
+        idx,
+        F.lit(0.0),
+        lambda acc, i: acc
+        + (
+            (F.element_at(c, i - 1)["x"] - x0) * (F.element_at(c, i)["y"] - y0)
+            - (F.element_at(c, i - 1)["y"] - y0) * (F.element_at(c, i)["x"] - x0)
+        ),
+    )
+    return F.when(F.size(c) < 4, F.lit(0.0)).otherwise(twice / 2.0)
+
+
+def bounding_rect_sql(coords: Column) -> Column:
+    """struct<xmin,ymin,xmax,ymax> as pure SQL over the coord array."""
+    xs = F.transform(coords, lambda p: p["x"])
+    ys = F.transform(coords, lambda p: p["y"])
+    return F.struct(
+        F.array_min(xs).alias("xmin"),
+        F.array_min(ys).alias("ymin"),
+        F.array_max(xs).alias("xmax"),
+        F.array_max(ys).alias("ymax"),
+    )
+
+
+def affine_transform_sql(coords: Column, matrix) -> Column:
+    """Apply a 2x3 affine matrix to a coord array — pure SQL `transform`."""
+    a, b, xoff = (float(v) for v in matrix[0])
+    d, e, yoff = (float(v) for v in matrix[1])
+    return F.transform(
+        coords,
+        lambda p: F.struct(
+            (F.lit(a) * p["x"] + F.lit(b) * p["y"] + F.lit(xoff)).alias("x"),
+            (F.lit(d) * p["x"] + F.lit(e) * p["y"] + F.lit(yoff)).alias("y"),
+        ),
+    )
+
+
+def coords_to_radians_sql(coords: Column) -> Column:
+    return F.transform(
+        coords,
+        lambda p: F.struct(F.radians(p["x"]).alias("x"), F.radians(p["y"]).alias("y")),
+    )
+
+
+def coords_to_degrees_sql(coords: Column) -> Column:
+    return F.transform(
+        coords,
+        lambda p: F.struct(F.degrees(p["x"]).alias("x"), F.degrees(p["y"]).alias("y")),
+    )
+
+
+def is_convex(coords: Column) -> Column:
+    from geo_spark.kernels.lines import is_ring_convex
+
+    @F.pandas_udf(T.BooleanType())
+    def udf(arrs: pd.Series) -> pd.Series:
+        return pd.Series([bool(is_ring_convex(_to_np(a))) for a in arrs])
+
+    return udf(coords)
+
+
+def centroid(coords: Column, kind: str = "polygon") -> Column:
+    """struct<x,y> centroid of a ring ('polygon') or polyline ('line')."""
+    from geo_spark.kernels.area import linestring_centroid, polygon_centroid
+
+    fn = polygon_centroid if kind == "polygon" else linestring_centroid
+
+    @F.pandas_udf("struct<x:double,y:double>")
+    def udf(arrs: pd.Series) -> pd.DataFrame:
+        xs, ys = [], []
+        for a in arrs:
+            p = fn(_to_np(a))
+            xs.append(None if p is None else p[0])
+            ys.append(None if p is None else p[1])
+        return pd.DataFrame({"x": xs, "y": ys})
+
+    return udf(coords)
