@@ -254,6 +254,144 @@ def _q_events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_spark.operators.tile_agg import tile_counts, tile_rollup
+
+    pts = _derived_points(spark, sf_dir)
+    r4 = tile_counts(pts, res=4).select("tile", "n")
+    return tile_rollup(r4, steps=2).select("ix", "iy", "n")
+
+
+def _q_within_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_spark.operators.distance_join import within_distance_join
+
+    pts = _derived_points(spark, sf_dir)
+    left = pts.withColumnRenamed("doc_id", "lid")
+    right = pts.withColumnRenamed("doc_id", "rid")
+    return within_distance_join(
+        left, right, max_dist=0.5, metric="planar", dedup_pairs=True
+    )
+
+
+def _q_bearing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_spark.functions import haversine_bearing_deg
+
+    pts = _derived_points(spark, sf_dir)
+    return pts.select(
+        "doc_id",
+        F.round(
+            haversine_bearing_deg("lon", "lat", F.lit(-74.006), F.lit(40.7128)), 6
+        ).alias("bearing_deg"),
+    )
+
+
+def _q_rhumb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_spark.functions import rhumb_meters
+
+    pts = _derived_points(spark, sf_dir)
+    return pts.select(
+        "doc_id",
+        F.round(rhumb_meters("lon", "lat", F.lit(-74.006), F.lit(40.7128)), 0).alias(
+            "rhumb_m"
+        ),
+    )
+
+
+def _q_destination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_spark.functions import haversine_destination_cols
+
+    pts = _derived_points(spark, sf_dir)
+    bearing = F.pmod(F.col("doc_id").cast("double"), F.lit(360.0))
+    dlon, dlat = haversine_destination_cols("lon", "lat", bearing, F.lit(100_000.0))
+    return pts.select(
+        "doc_id",
+        F.round(dlon, 8).alias("dest_lon"),
+        F.round(dlat, 8).alias("dest_lat"),
+    )
+
+
+def _q_events_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    micros = F.round(F.col("value") * 1000000, 0).cast("bigint")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(micros).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "running_micros"
+        ),
+        F.lag(micros, 1, 0).over(w).alias("prev_micros"),
+    )
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_spark.operators.dedup import ngram_jaccard_pairs
+    from geo_spark.operators.textstats import token_stats
+
+    docs = _docs(spark, sf_dir)
+    toks = token_stats(docs).select("doc_id", "n_tokens")
+    eligible = docs.join(toks.filter(F.col("n_tokens") >= 3), "doc_id")
+    ids = eligible.select("doc_id")
+    pairs = (
+        ids.withColumnRenamed("doc_id", "id_a")
+        .join(
+            ids.withColumnRenamed("doc_id", "id_b"),
+            F.col("id_b") == F.col("id_a") + 1,
+        )
+    )
+    out = ngram_jaccard_pairs(docs, pairs, ngram=3)
+    return out.select("id_a", "id_b", "n_inter", "n_union", "jaccard")
+
+
+# --- non-SQL-expressible operators: rows-only driver checks ---------------
+
+
+def _q_hull_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_spark.operators.hulls import convex_hull_per_group
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    pts = _derived_points(spark, sf_dir).join(docs, "doc_id")
+    pts = pts.withColumn(
+        "group_id", F.pmod(F.xxhash64("lang"), F.lit(1000))
+    )
+    hulls = convex_hull_per_group(pts)
+    return hulls.select("group_id", "n_vertices", F.to_json("hull").alias("hull_json"))
+
+
+def _q_dbscan_hotspot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_spark.operators.cluster import dbscan
+
+    pts = _derived_points(spark, sf_dir).withColumnRenamed("doc_id", "id")
+    return dbscan(pts, epsilon=0.5, min_samples=5, id_col="id")
+
+
+def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_spark.operators.dedup import simhash_fingerprints
+    from geo_spark.operators.textstats import doc_fingerprint
+
+    docs = _docs(spark, sf_dir)
+    return simhash_fingerprints(docs).join(doc_fingerprint(docs), "doc_id")
+
+
+def _q_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_spark.operators.ann import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = lsh_topk(emb, queries_df, k=10, dim=64)
+    return out.select("qid", "vec_id", F.round("cosine", 6).alias("cos_r"), "rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_contains_grid10": _q_pip_grid,
@@ -271,6 +409,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers_window": _q_top_customers,
         "join_enrich": _q_join_enrich,
         "events_agg": _q_events_agg,
+        "tile_rollup_r4_to_r2": _q_tile_rollup,
+        "within_distance_pairs": _q_within_distance,
+        "bearing_to_nyc": _q_bearing,
+        "rhumb_to_nyc": _q_rhumb,
+        "destination_100km": _q_destination,
+        "events_running_window": _q_events_running,
+        "ngram_jaccard_consecutive": _q_ngram_jaccard,
+        # non-SQL-expressible (driver records rows-only checks; exact
+        # semantics covered by pytest parity suites):
+        "hull_by_lang": _q_hull_by_lang,
+        "dbscan_hotspot": _q_dbscan_hotspot,
+        "minhash_lsh_pairs": _q_minhash_pairs,
+        "doc_fingerprints": _q_fingerprints,
+        "lsh_cosine_topk": _q_lsh_cosine,
     }
 
 
@@ -456,5 +608,108 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_type, COUNT(*) AS n,
                    CAST(SUM(CAST(ROUND(value * 1000000, 0) AS BIGINT)) AS BIGINT) AS value_micros
             FROM events GROUP BY 1, 2
+        """,
+        "tile_rollup_r4_to_r2": f"""
+            {pts}
+            SELECT CAST(FLOOR((lon + 180.0) / 360.0 * 4) AS BIGINT) AS ix,
+                   CAST(FLOOR((lat + 90.0) / 180.0 * 4) AS BIGINT) AS iy,
+                   COUNT(*) AS n
+            FROM pts GROUP BY 1, 2
+        """,
+        "within_distance_pairs": f"""
+            {pts}
+            SELECT a.doc_id AS lid, b.doc_id AS rid,
+                   SQRT((a.lon - b.lon) * (a.lon - b.lon)
+                        + (a.lat - b.lat) * (a.lat - b.lat)) AS dist
+            FROM pts a, pts b
+            WHERE a.doc_id < b.doc_id
+              AND SQRT((a.lon - b.lon) * (a.lon - b.lon)
+                       + (a.lat - b.lat) * (a.lat - b.lat)) <= 0.5
+        """,
+        "bearing_to_nyc": f"""
+            {pts}
+            SELECT doc_id,
+              ROUND((DEGREES(ATAN2(
+                 COS(RADIANS(40.7128)) * SIN(RADIANS(-74.006 - lon)),
+                 COS(RADIANS(lat)) * SIN(RADIANS(40.7128))
+                 - SIN(RADIANS(lat)) * COS(RADIANS(40.7128))
+                   * COS(RADIANS(-74.006 - lon)))) + 360.0) % 360.0, 6)
+              AS bearing_deg
+            FROM pts
+        """,
+        "rhumb_to_nyc": f"""
+            {pts}
+            SELECT doc_id,
+              ROUND(6371008.8 * SQRT(
+                POW(RADIANS(40.7128 - lat), 2)
+                + POW(CASE
+                    WHEN ABS(LN(TAN(RADIANS(40.7128) / 2 + PI() / 4)
+                              / TAN(RADIANS(lat) / 2 + PI() / 4))) > 1e-11
+                    THEN RADIANS(40.7128 - lat)
+                         / LN(TAN(RADIANS(40.7128) / 2 + PI() / 4)
+                              / TAN(RADIANS(lat) / 2 + PI() / 4))
+                    ELSE COS(RADIANS(lat)) END, 2)
+                  * POW(CASE
+                      WHEN RADIANS(-74.006 - lon) > PI() THEN RADIANS(-74.006 - lon) - 2 * PI()
+                      WHEN RADIANS(-74.006 - lon) < -PI() THEN RADIANS(-74.006 - lon) + 2 * PI()
+                      ELSE RADIANS(-74.006 - lon) END, 2)), 0) AS rhumb_m
+            FROM pts
+        """,
+        "destination_100km": f"""
+            {pts},
+            d AS (
+              SELECT doc_id,
+                     RADIANS(doc_id % 360.0) AS brad,
+                     100000.0 / 6371008.8 AS rad,
+                     RADIANS(lat) AS clat,
+                     RADIANS(lon) AS clng
+              FROM pts
+            ),
+            d2 AS (
+              SELECT doc_id, clng, brad, rad, clat,
+                     ASIN(SIN(clat) * COS(rad)
+                          + COS(clat) * SIN(rad) * COS(brad)) AS dlat
+              FROM d
+            )
+            SELECT doc_id,
+                   ROUND(((DEGREES(ATAN2(SIN(brad) * SIN(rad) * COS(clat),
+                                         COS(rad) - SIN(clat) * SIN(dlat)) + clng)
+                           + 540.0) % 360.0) - 180.0, 8) AS dest_lon,
+                   ROUND(DEGREES(dlat), 8) AS dest_lat
+            FROM d2
+        """,
+        "events_running_window": """
+            SELECT event_id, user_id,
+                   CAST(SUM(CAST(ROUND(value * 1000000, 0) AS BIGINT)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                     AS running_micros,
+                   CAST(COALESCE(LAG(CAST(ROUND(value * 1000000, 0) AS BIGINT), 1) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id), 0) AS BIGINT)
+                     AS prev_micros
+            FROM events
+        """,
+        "ngram_jaccard_consecutive": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS t
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(1, len(t) - 1),
+                       i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS grams,
+                     len(t) AS ntok
+              FROM toks
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(len(list_intersect(a.grams, b.grams)) AS INT) AS n_inter,
+                   CAST(len(a.grams) + len(b.grams)
+                        - len(list_intersect(a.grams, b.grams)) AS INT) AS n_union,
+                   CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                     / (len(a.grams) + len(b.grams)
+                        - len(list_intersect(a.grams, b.grams))) AS jaccard
+            FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+            WHERE a.ntok >= 3 AND b.ntok >= 3
         """,
     }

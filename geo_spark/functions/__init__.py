@@ -112,6 +112,38 @@ def bbox_contains_point(xmin, ymin, xmax, ymax, px, py) -> Column:
     return (px >= xmin) & (px <= xmax) & (py >= ymin) & (py <= ymax)
 
 
+def haversine_bearing_deg(lon1, lat1, lon2, lat2) -> Column:
+    """Initial great-circle bearing in degrees [0, 360) — pure SQL
+    (haversine.rs:185-196 formula)."""
+    lon1, lat1, lon2, lat2 = (F.col(c) if isinstance(c, str) else c for c in (lon1, lat1, lon2, lat2))
+    lng_a, lat_a = F.radians(lon1), F.radians(lat1)
+    lng_b, lat_b = F.radians(lon2), F.radians(lat2)
+    dl = lng_b - lng_a
+    s = F.cos(lat_b) * F.sin(dl)
+    c = F.cos(lat_a) * F.sin(lat_b) - F.sin(lat_a) * F.cos(lat_b) * F.cos(dl)
+    return F.pmod(F.degrees(F.atan2(s, c)) + F.lit(360.0), F.lit(360.0))
+
+
+def haversine_destination_cols(lon, lat, bearing_deg, meters,
+                               radius: float = MEAN_EARTH_RADIUS):
+    """(lon', lat') Columns after travelling ``meters`` along a great circle
+    (haversine.rs:221-236) — pure SQL."""
+    lon, lat = (F.col(c) if isinstance(c, str) else c for c in (lon, lat))
+    bearing = F.lit(bearing_deg) if not isinstance(bearing_deg, Column) else bearing_deg
+    meters = F.lit(meters) if not isinstance(meters, Column) else meters
+    clng = F.radians(lon)
+    clat = F.radians(lat)
+    brad = F.radians(bearing)
+    rad = meters / F.lit(radius)
+    dlat = F.asin(F.sin(clat) * F.cos(rad) + F.cos(clat) * F.sin(rad) * F.cos(brad))
+    dlng = F.atan2(
+        F.sin(brad) * F.sin(rad) * F.cos(clat),
+        F.cos(rad) - F.sin(clat) * F.sin(dlat),
+    ) + clng
+    out_lon = F.pmod(F.degrees(dlng) + F.lit(540.0), F.lit(360.0)) - F.lit(180.0)
+    return out_lon, F.degrees(dlat)
+
+
 def winding_position_sql(px, py, ring) -> Column:
     """Ternary point-vs-ring position (+1/0/-1) as a pure Catalyst expression.
 
