@@ -1,0 +1,112 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media are opaque ``binary`` columns with typed metadata structs; the Spark
+side — schemas, partition-sized Arrow batches, ``mapInPandas`` signatures —
+is real and tested. The actual codecs (PIL/ffmpeg/librosa) are NOT available
+in this container, so the decode step is a clearly-marked seam:
+
+- ``decode='stub'`` raises NotImplementedError (production wiring point);
+- ``decode='fake'`` derives deterministic pseudo-features from the bytes
+  (content-hash seeded), so the distributed plumbing is testable end-to-end
+  and downstream consumers (ANN over media embeddings, dedup by content
+  hash) run for real.
+
+At 100 TB: media bytes never leave the executor — ``mapInPandas`` streams
+Arrow batches; feature vectors (small) are all that shuffles.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_META_SCHEMA = (
+    "media_type string, width int, height int, duration_ms long, codec string"
+)
+
+_FEATURE_DIM = 32
+
+
+def _fake_features(payload: bytes, dim: int = _FEATURE_DIM) -> np.ndarray:
+    """Deterministic unit-norm pseudo-embedding from content bytes."""
+    h = hashlib.sha256(payload or b"").digest()
+    seed = int.from_bytes(h[:8], "big") % (2**32)
+    rng = np.random.RandomState(seed)
+    v = rng.standard_normal(dim)
+    n = np.linalg.norm(v)
+    return (v / n if n else v).astype(np.float64)
+
+
+def extract_media_features(
+    df: DataFrame,
+    content_col: str = "html",
+    id_col: str = "url",
+    decode: str = "fake",
+    dim: int = _FEATURE_DIM,
+) -> DataFrame:
+    """(id, content_sha256, n_bytes, features array<double>) via mapInPandas.
+
+    ``decode='stub'`` marks where a real image/audio decoder plugs in.
+    """
+    if decode not in ("fake", "stub"):
+        raise ValueError(f"unknown decode mode: {decode}")
+
+    schema = f"{id_col} string, content_sha256 string, n_bytes long, features array<double>"
+
+    def run(batches):
+        for pdf in batches:
+            if decode == "stub":
+                raise NotImplementedError(
+                    "media decode requires an image/audio codec; install one and "
+                    "replace the 'fake' feature extractor (operators/multimodal.py)"
+                )
+            payloads = pdf[content_col]
+            ids = pdf[id_col]
+            out = {
+                id_col: [],
+                "content_sha256": [],
+                "n_bytes": [],
+                "features": [],
+            }
+            for i, payload in enumerate(payloads):
+                raw = bytes(payload) if payload is not None else b""
+                out[id_col].append(ids.iloc[i])
+                out["content_sha256"].append(hashlib.sha256(raw).hexdigest())
+                out["n_bytes"].append(len(raw))
+                out["features"].append(_fake_features(raw, dim).tolist())
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, content_col).mapInPandas(run, schema=schema)
+
+
+def frame_sample_plan(
+    df: DataFrame,
+    duration_col: str = "duration_ms",
+    every_ms: int = 1000,
+    max_frames: int = 16,
+) -> DataFrame:
+    """One row per planned sample timestamp — pure SQL (sequence + explode).
+
+    The decode of each frame is the stubbed step; the *plan* (which
+    timestamps each executor would decode, bounded per row) is the part with
+    distributed semantics, and it is fully testable.
+    """
+    n = F.least(
+        (F.col(duration_col) / F.lit(every_ms)).cast("int") + 1, F.lit(max_frames)
+    )
+    ts = F.transform(
+        F.sequence(F.lit(0), n - 1), lambda i: i * F.lit(every_ms)
+    )
+    return df.withColumn("sample_ts_ms", F.explode(ts))
+
+
+def media_dedup_exact(df: DataFrame, content_col: str = "html", id_col: str = "url") -> DataFrame:
+    """Exact media dedup by content hash — one shuffle on sha2 (JVM-side)."""
+    return (
+        df.groupBy(F.sha2(F.col(content_col), 256).alias("content_sha256"))
+        .agg(F.count("*").alias("n_copies"), F.min(id_col).alias("keep_id"))
+    )
