@@ -123,6 +123,101 @@ def visvalingam(coords: np.ndarray, epsilon: float) -> np.ndarray:
     return coords[visvalingam_indices(coords, epsilon)]
 
 
+def visvalingam_preserve_indices(
+    coords: np.ndarray,
+    epsilon: float,
+    initial_min: int = 2,
+    min_points: int = 4,
+) -> list[int]:
+    """Topology-preserving Visvalingam (``simplify_vw.rs:306-413`` semantics,
+    the Jason Davies technique): the min-area point is removed even when the
+    replacement segment self-intersects, and the spatially *preceding*
+    neighbor is then demoted to area -epsilon so it is removed next (which
+    resolves the intersection); with ≤ ``min_points`` left an intersecting
+    removal stops the process instead.
+    """
+    from geo_spark.kernels.predicates import segments_intersect
+
+    coords = np.asarray(coords, dtype=np.float64)
+    n = len(coords)
+    if n < 3 or epsilon <= 0.0:
+        return list(range(n))
+
+    adjacent = [(-1, 1)] + [(i - 1, i + 1) for i in range(1, n)]
+    counter = n
+    pq: list = []
+    seq = 0
+    for i in range(1, n - 1):
+        heapq.heappush(
+            pq, (_triangle_area(coords[i - 1], coords[i], coords[i + 1]), seq, i, i - 1, i + 1)
+        )
+        seq += 1
+
+    def alive_segments():
+        i = 0
+        while 0 <= i < n:
+            j = adjacent[i][1]
+            if j >= n:
+                break
+            yield i, j
+            i = j
+
+    def tree_intersect(l: int, cur: int, r: int) -> bool:
+        a, b = coords[l], coords[r]
+        tri = np.array([coords[l], coords[cur], coords[r]])
+        txmin, tymin = tri.min(axis=0)
+        txmax, tymax = tri.max(axis=0)
+        for (s, e) in alive_segments():
+            cs, ce = coords[s], coords[e]
+            if max(cs[0], ce[0]) < txmin or min(cs[0], ce[0]) > txmax:
+                continue
+            if max(cs[1], ce[1]) < tymin or min(cs[1], ce[1]) > tymax:
+                continue
+            # exclude segments sharing an endpoint coordinate with (a, b)
+            if (
+                (cs == a).all() or (cs == b).all() or (ce == a).all() or (ce == b).all()
+            ):
+                continue
+            if segments_intersect(a[0], a[1], b[0], b[1], cs[0], cs[1], ce[0], ce[1])[()]:
+                return True
+        return False
+
+    removed = [False] * n
+    while pq:
+        area, _, cur, l, r = heapq.heappop(pq)
+        if area > epsilon:
+            break
+        if counter <= initial_min:
+            break
+        al, ar = adjacent[cur]
+        if al != l or ar != r:
+            continue  # stale entry
+        intersector = tree_intersect(l, cur, r)
+        if intersector and counter <= min_points:
+            break
+        ll = adjacent[l][0]
+        rr = adjacent[r][1]
+        adjacent[l] = (ll, r)
+        adjacent[r] = (l, rr)
+        adjacent[cur] = (0, 0)
+        removed[cur] = True
+        counter -= 1
+        for (ai, cp, bi) in ((ll, l, r), (l, r, rr)):
+            if ai < 0 or bi >= n or ai >= n:
+                continue
+            new_area = _triangle_area(coords[ai], coords[cp], coords[bi])
+            if intersector and cp < cur:
+                new_area = -epsilon
+            heapq.heappush(pq, (new_area, seq, cp, ai, bi))
+            seq += 1
+    return [i for i in range(n) if not removed[i]]
+
+
+def visvalingam_preserve(coords: np.ndarray, epsilon: float) -> np.ndarray:
+    coords = np.asarray(coords, dtype=np.float64)
+    return coords[visvalingam_preserve_indices(coords, epsilon)]
+
+
 def chaikin_smoothing(coords: np.ndarray, n_iterations: int = 1) -> np.ndarray:
     """Chaikin corner cutting; closed rings stay closed, open endpoints kept."""
     coords = np.asarray(coords, dtype=np.float64)

@@ -1,0 +1,177 @@
+"""Delaunay triangulation (Bowyer-Watson) and Voronoi diagram.
+
+Parity targets: ``TriangulateDelaunay`` (``triangulate_delaunay.rs:116``,
+ext spade crate) — unconstrained Delaunay with the empty-circumcircle
+property; ``Voronoi`` (``voronoi.rs:216``) — dual of the Delaunay
+triangulation, cells clipped to a bounding rect.
+
+Pure numpy; exactness via the robust in-circle test (float filter + exact
+rational fallback, same two-stage pattern as orient2d).
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+import numpy as np
+
+from geo_spark.kernels.predicates import orient2d
+
+_EPS = np.finfo(np.float64).eps / 2.0
+_ICC_ERRBOUND = (10.0 + 96.0 * _EPS) * _EPS
+
+
+def _incircle_exact(ax, ay, bx, by, cx, cy, dx, dy) -> int:
+    """Exact sign of the in-circle determinant via rationals."""
+    fax, fay = Fraction(ax) - Fraction(dx), Fraction(ay) - Fraction(dy)
+    fbx, fby = Fraction(bx) - Fraction(dx), Fraction(by) - Fraction(dy)
+    fcx, fcy = Fraction(cx) - Fraction(dx), Fraction(cy) - Fraction(dy)
+    det = (
+        (fax * fax + fay * fay) * (fbx * fcy - fcx * fby)
+        - (fbx * fbx + fby * fby) * (fax * fcy - fcx * fay)
+        + (fcx * fcx + fcy * fcy) * (fax * fby - fbx * fay)
+    )
+    return (det > 0) - (det < 0)
+
+
+def incircle(ax, ay, bx, by, cx, cy, dx, dy) -> int:
+    """+1 if d is strictly inside the circumcircle of CCW triangle (a,b,c)."""
+    adx, ady = ax - dx, ay - dy
+    bdx, bdy = bx - dx, by - dy
+    cdx, cdy = cx - dx, cy - dy
+    alift = adx * adx + ady * ady
+    blift = bdx * bdx + bdy * bdy
+    clift = cdx * cdx + cdy * cdy
+    det = (
+        alift * (bdx * cdy - cdx * bdy)
+        - blift * (adx * cdy - cdx * ady)
+        + clift * (adx * bdy - bdx * ady)
+    )
+    permanent = (
+        alift * (abs(bdx * cdy) + abs(cdx * bdy))
+        + blift * (abs(adx * cdy) + abs(cdx * ady))
+        + clift * (abs(adx * bdy) + abs(bdx * ady))
+    )
+    if abs(det) > _ICC_ERRBOUND * permanent:
+        return int(det > 0) - int(det < 0)
+    return _incircle_exact(ax, ay, bx, by, cx, cy, dx, dy)
+
+
+def delaunay(points: np.ndarray) -> list[tuple[int, int, int]]:
+    """Delaunay triangle index triples (CCW) via Bowyer-Watson."""
+    pts = np.asarray(points, dtype=np.float64)
+    n = len(pts)
+    if n < 3:
+        return []
+    # super-triangle framing all points
+    cx, cy = pts[:, 0].mean(), pts[:, 1].mean()
+    span = max(pts[:, 0].ptp(), pts[:, 1].ptp(), 1.0) * 64.0
+    sup = np.array(
+        [[cx - 2 * span, cy - span], [cx + 2 * span, cy - span], [cx, cy + 2 * span]]
+    )
+    all_pts = np.vstack([pts, sup])
+    s0, s1, s2 = n, n + 1, n + 2
+    tris: list[tuple[int, int, int]] = [(s0, s1, s2)]
+
+    for i in range(n):
+        px, py = all_pts[i]
+        bad = []
+        for t in tris:
+            a, b, c = all_pts[t[0]], all_pts[t[1]], all_pts[t[2]]
+            if incircle(a[0], a[1], b[0], b[1], c[0], c[1], px, py) > 0:
+                bad.append(t)
+        if not bad:
+            # on/outside due to degeneracy — attach via nearest edge walk:
+            # fall back to including any triangle whose circumcircle boundary
+            # holds the point (incircle == 0 handled as inside for insertion)
+            for t in tris:
+                a, b, c = all_pts[t[0]], all_pts[t[1]], all_pts[t[2]]
+                if incircle(a[0], a[1], b[0], b[1], c[0], c[1], px, py) >= 0:
+                    bad.append(t)
+        # boundary polygon of the cavity = edges seen exactly once
+        counts: dict = {}
+        orient: dict = {}
+        for t in bad:
+            for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+                key = (min(e), max(e))
+                counts[key] = counts.get(key, 0) + 1
+                orient[key] = e
+        boundary = [orient[k] for k, v in counts.items() if v == 1]
+        tris = [t for t in tris if t not in bad]
+        for (u, v) in boundary:
+            # keep CCW orientation with the new point
+            a, b = all_pts[u], all_pts[v]
+            if int(orient2d(a[0], a[1], b[0], b[1], px, py)) > 0:
+                tris.append((u, v, i))
+            else:
+                tris.append((v, u, i))
+    # drop triangles touching the super-triangle
+    return [t for t in tris if max(t) < n]
+
+
+def circumcenter(a, b, c) -> tuple[float, float] | None:
+    ax, ay = a
+    bx, by = b
+    cx, cy = c
+    d = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+    if d == 0:
+        return None
+    ux = (
+        (ax * ax + ay * ay) * (by - cy)
+        + (bx * bx + by * by) * (cy - ay)
+        + (cx * cx + cy * cy) * (ay - by)
+    ) / d
+    uy = (
+        (ax * ax + ay * ay) * (cx - bx)
+        + (bx * bx + by * by) * (ax - cx)
+        + (cx * cx + cy * cy) * (bx - ax)
+    ) / d
+    return (ux, uy)
+
+
+def voronoi_cells(points: np.ndarray, clip_rect=None) -> list[np.ndarray]:
+    """Voronoi cell ring per input site (dual of Delaunay), clipped to a rect.
+
+    ``clip_rect``: (xmin, ymin, xmax, ymax); defaults to the point bbox
+    expanded by 10%. Cells are closed CCW rings. Built by half-plane clipping
+    of the rect against each site's bisectors — O(n² log) overall, exact for
+    the per-group sizes this runs at.
+    """
+    from geo_spark.kernels.clip import _clip_half_plane
+
+    pts = np.asarray(points, dtype=np.float64)
+    n = len(pts)
+    if clip_rect is None:
+        xmin, ymin = pts.min(axis=0)
+        xmax, ymax = pts.max(axis=0)
+        mx = (xmax - xmin or 1.0) * 0.1
+        my = (ymax - ymin or 1.0) * 0.1
+        clip_rect = (xmin - mx, ymin - my, xmax + mx, ymax + my)
+    x0, y0, x1, y1 = clip_rect
+    base = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]], dtype=np.float64)
+    cells = []
+    for i in range(n):
+        cell = base.copy()
+        p = pts[i]
+        for j in range(n):
+            if j == i or len(cell) < 3:
+                continue
+            q = pts[j]
+            mid = (p + q) / 2.0
+            nrm = q - p  # points toward q; keep the side where (x-mid)·nrm <= 0
+
+            def inside_mask(arr, mid=mid, nrm=nrm):
+                return (arr[:, 0] - mid[0]) * nrm[0] + (arr[:, 1] - mid[1]) * nrm[1] <= 0
+
+            def isect(a, b, mid=mid, nrm=nrm):
+                da = (a[0] - mid[0]) * nrm[0] + (a[1] - mid[1]) * nrm[1]
+                db = (b[0] - mid[0]) * nrm[0] + (b[1] - mid[1]) * nrm[1]
+                t = da / (da - db)
+                return np.array([a[0] + t * (b[0] - a[0]), a[1] + t * (b[1] - a[1])])
+
+            cell = _clip_half_plane(cell, inside_mask, isect)
+        if len(cell) >= 3:
+            cells.append(np.vstack([cell, cell[:1]]))
+        else:
+            cells.append(np.empty((0, 2), dtype=np.float64))
+    return cells

@@ -1,0 +1,117 @@
+"""Concave hulls, Delaunay, Voronoi — property-based correctness."""
+
+import numpy as np
+import pytest
+
+from geo_spark.kernels.area import polygon_unsigned_area, ring_signed_area
+from geo_spark.kernels.hull import quick_hull
+from geo_spark.kernels.hull2 import concave_hull, k_nearest_concave_hull
+from geo_spark.kernels.predicates import ring_position
+from geo_spark.kernels.triangulate import circumcenter, delaunay, incircle, voronoi_cells
+
+
+@pytest.fixture(scope="module")
+def cloud():
+    rng = np.random.RandomState(11)
+    return rng.uniform(0, 100, (60, 2))
+
+
+def _covers_all(ring, pts):
+    pos = ring_position(pts[:, 0], pts[:, 1], ring)
+    return (pos >= 0).all()
+
+
+def test_concave_hull_covers_and_shrinks(cloud):
+    convex = quick_hull(cloud)
+    hull = concave_hull(cloud, concavity=2.0)
+    assert _covers_all(hull, cloud)
+    assert abs(ring_signed_area(hull)) <= abs(ring_signed_area(convex)) + 1e-9
+    # high concavity → effectively convex
+    near_convex = concave_hull(cloud, concavity=1e9)
+    assert abs(ring_signed_area(near_convex)) == pytest.approx(
+        abs(ring_signed_area(convex)), rel=1e-9
+    )
+
+
+def test_concave_hull_l_distribution():
+    # points sampled along an L — concave hull should carve the notch
+    rng = np.random.RandomState(4)
+    arm1 = np.column_stack([rng.uniform(0, 10, 150), rng.uniform(0, 2, 150)])
+    arm2 = np.column_stack([rng.uniform(0, 2, 150), rng.uniform(0, 10, 150)])
+    pts = np.vstack([arm1, arm2])
+    hull = concave_hull(pts, concavity=1.5)
+    convex_area = abs(ring_signed_area(quick_hull(pts)))
+    concave_area = abs(ring_signed_area(hull))
+    assert _covers_all(hull, pts)
+    assert concave_area < 0.75 * convex_area  # the notch was carved
+
+
+def test_knn_concave_hull(cloud):
+    hull = k_nearest_concave_hull(cloud, k=5)
+    assert (hull[0] == hull[-1]).all()
+    assert _covers_all(hull, cloud)
+
+
+def test_delaunay_empty_circumcircle(cloud):
+    pts = cloud[:25]
+    tris = delaunay(pts)
+    assert len(tris) >= 1
+    # every triangle CCW and empty-circumcircle
+    for (a, b, c) in tris:
+        pa, pb, pc = pts[a], pts[b], pts[c]
+        for d in range(len(pts)):
+            if d in (a, b, c):
+                continue
+            assert incircle(
+                pa[0], pa[1], pb[0], pb[1], pc[0], pc[1], pts[d, 0], pts[d, 1]
+            ) <= 0
+    # triangulation area == convex hull area
+    hull_area = abs(ring_signed_area(quick_hull(pts)))
+    tri_area = sum(
+        abs(
+            (pts[b][0] - pts[a][0]) * (pts[c][1] - pts[a][1])
+            - (pts[b][1] - pts[a][1]) * (pts[c][0] - pts[a][0])
+        )
+        / 2.0
+        for a, b, c in tris
+    )
+    assert tri_area == pytest.approx(hull_area, rel=1e-9)
+
+
+def test_delaunay_grid_degenerate():
+    # cocircular grid points — must still produce a valid triangulation
+    xs, ys = np.meshgrid(np.arange(4.0), np.arange(4.0))
+    pts = np.column_stack([xs.ravel(), ys.ravel()])
+    tris = delaunay(pts)
+    tri_area = sum(
+        abs(
+            (pts[b][0] - pts[a][0]) * (pts[c][1] - pts[a][1])
+            - (pts[b][1] - pts[a][1]) * (pts[c][0] - pts[a][0])
+        )
+        / 2.0
+        for a, b, c in tris
+    )
+    assert tri_area == pytest.approx(9.0, rel=1e-9)  # 3x3 square
+
+
+def test_voronoi_cells_contain_sites(cloud):
+    pts = cloud[:20]
+    cells = voronoi_cells(pts)
+    assert len(cells) == 20
+    total = 0.0
+    for i, cell in enumerate(cells):
+        assert len(cell) >= 4
+        assert ring_position([pts[i, 0]], [pts[i, 1]], cell)[0] >= 0
+        total += abs(ring_signed_area(cell))
+    # cells tile the clip rect exactly
+    xmin, ymin = pts.min(axis=0)
+    xmax, ymax = pts.max(axis=0)
+    mx, my = (xmax - xmin) * 0.1, (ymax - ymin) * 0.1
+    rect_area = (xmax - xmin + 2 * mx) * (ymax - ymin + 2 * my)
+    assert total == pytest.approx(rect_area, rel=1e-9)
+
+
+def test_circumcenter():
+    c = circumcenter((0, 0), (2, 0), (0, 2))
+    assert c == (1.0, 1.0)
+    assert circumcenter((0, 0), (1, 1), (2, 2)) is None  # collinear

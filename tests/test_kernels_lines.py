@@ -226,3 +226,23 @@ def test_affine_compose_order():
     m = affine.compose(affine.translate(5, 0), affine.scale(2, 2))
     got = affine.apply(m, _arr([(1, 1)]))
     assert np.array_equal(got, _arr([(7, 2)]))  # scale → (2,2), then +5 → (7,2)
+
+
+def test_vw_preserve_golden():
+    # simplify_vw.rs simple_vwp_test: removal chain resolves self-intersection
+    from geo_spark.kernels.simplify import visvalingam_preserve
+
+    ls = _arr(
+        [(10, 60), (135, 68), (94, 48), (126, 31), (280, 19), (117, 48), (300, 40), (301, 10)]
+    )
+    got = visvalingam_preserve(ls, 668.6)
+    exp = _arr([(10, 60), (126, 31), (280, 19), (117, 48), (300, 40), (301, 10)])
+    assert np.array_equal(got, exp)
+
+
+def test_vw_preserve_no_op_below_threshold():
+    from geo_spark.kernels.simplify import visvalingam_preserve
+
+    ls = _arr([(0, 0), (10, 10), (20, 0), (30, 10), (40, 0)])
+    got = visvalingam_preserve(ls, 1e-9)
+    assert np.array_equal(got, ls)
