@@ -146,9 +146,13 @@ def validate_polygon(exterior: np.ndarray, interiors=()) -> list[str]:
     too-few-points, unclosed/non-finite rings, ring self-intersection,
     cross-ring intersection, hole outside shell, nested holes.
     """
+    from geo_spark.kernels.simplify import remove_repeated_points
+
     problems: list[str] = []
-    rings = [np.asarray(exterior, dtype=np.float64)] + [
-        np.asarray(h, dtype=np.float64) for h in interiors
+    # repeated consecutive points are tolerated (JTS isValid semantics);
+    # validity is judged on the deduplicated rings
+    rings = [remove_repeated_points(np.asarray(exterior, dtype=np.float64))] + [
+        remove_repeated_points(np.asarray(h, dtype=np.float64)) for h in interiors
     ]
     for ri, ring in enumerate(rings):
         tag = "exterior" if ri == 0 else f"interior[{ri - 1}]"
@@ -159,21 +163,42 @@ def validate_polygon(exterior: np.ndarray, interiors=()) -> list[str]:
             problems.append(f"{tag}: non-finite coordinate")
         if (ring[0] != ring[-1]).any():
             problems.append(f"{tag}: ring not closed")
+        from geo_spark.kernels.area import ring_signed_area as _rsa
+
+        if _rsa(ring) == 0.0:
+            problems.append(f"{tag}: zero-area ring")
         if _ring_self_intersects(ring):
             problems.append(f"{tag}: self-intersection")
     if problems:
         return problems
+    from geo_spark.kernels.area import ring_signed_area
+
     ext = rings[0]
+    ext_area = abs(ring_signed_area(ext))
     for hi, hole in enumerate(rings[1:]):
         pos = ring_position(hole[:-1, 0], hole[:-1, 1], ext)
         if (pos == -1).any():
             problems.append(f"interior[{hi}]: outside the shell")
+        elif not (pos == 1).any():
+            # every hole vertex sits on the shell boundary: the hole interior
+            # must still be inside the shell (rules out adjacent-outside and
+            # hole-identical-to-shell shapes)
+            if abs(ring_signed_area(hole)) >= ext_area:
+                problems.append(f"interior[{hi}]: covers the shell")
+            else:
+                ip = interior_point(hole)
+                if ip is None or ring_position([ip[0]], [ip[1]], ext)[0] != 1:
+                    problems.append(f"interior[{hi}]: not inside the shell")
         for hj, other in enumerate(rings[1:]):
             if hj <= hi:
                 continue
             pos2 = ring_position(other[:-1, 0], other[:-1, 1], hole)
             if (pos2 == 1).all():
                 problems.append(f"interior[{hj}]: nested inside interior[{hi}]")
+            elif (pos2 == 1).any():
+                problems.append(
+                    f"interior[{hj}]: overlaps interior[{hi}]"
+                )
     return problems
 
 
