@@ -1,0 +1,58 @@
+"""Buffer construction tests (area-formula properties)."""
+
+import numpy as np
+import pytest
+
+from geo_spark.kernels.boolops import overlay_area
+from geo_spark.kernels.buffer import buffer_line, buffer_point, buffer_polygon
+
+
+def _circle_area(r):
+    return np.pi * r * r
+
+
+def test_point_buffer_area():
+    r, qs = 3.0, 8
+    got = overlay_area(buffer_point(0, 0, r, qs))
+    n = 4 * qs
+    inscribed = 0.5 * n * r * r * np.sin(2 * np.pi / n)
+    assert got == pytest.approx(inscribed, rel=1e-12)
+
+
+def test_line_buffer_area():
+    r, qs = 1.0, 16
+    line = np.array([(0.0, 0.0), (10.0, 0.0)])
+    got = overlay_area(buffer_line(line, r, qs))
+    exp = 2 * r * 10.0 + _circle_area(r)
+    assert got == pytest.approx(exp, rel=0.01)
+    # right-angle polyline: joint overlap reduces area below naive sum
+    bent = np.array([(0.0, 0.0), (10.0, 0.0), (10.0, 10.0)])
+    got2 = overlay_area(buffer_line(bent, r, qs))
+    exp2 = 2 * r * 20.0 + _circle_area(r) * 0.75 + _circle_area(r) * 0.5 - 0.0
+    # loose sanity bounds: between rectangles-only and naive sum
+    assert 2 * r * 20.0 < got2 < 2 * (2 * r * 10.0 + _circle_area(r))
+
+
+def test_polygon_buffer_dilate_erode():
+    sq = np.array([(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)])
+    r, qs = 1.0, 8
+    dilated = buffer_polygon(sq, (), r, qs)
+    exp = 100.0 + 40.0 * r + _circle_area(r)
+    assert overlay_area(dilated) == pytest.approx(exp, rel=0.01)
+    eroded = buffer_polygon(sq, (), -r, qs)
+    assert overlay_area(eroded) == pytest.approx(64.0, rel=0.01)
+    gone = buffer_polygon(sq, (), -6.0, qs)
+    assert overlay_area(gone) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_polygon_buffer_with_hole():
+    outer = np.array([(0.0, 0.0), (20.0, 0.0), (20.0, 20.0), (0.0, 20.0), (0.0, 0.0)])
+    hole = np.array([(8.0, 8.0), (8.0, 12.0), (12.0, 12.0), (12.0, 8.0), (8.0, 8.0)])
+    r = 1.0
+    dil = buffer_polygon(outer, [hole], r, 8)
+    # hole shrinks by r on each side: 4x4 → 2x2 minus rounded corners
+    base = 400.0 - 16.0
+    exp_outer_gain = 80.0 * r + _circle_area(r)
+    exp_hole_fill = 16.0 - 4.0  # hole area shrinks to ~2x2 (+ rounded corners)
+    got = overlay_area(dil)
+    assert got == pytest.approx(base + exp_outer_gain + exp_hole_fill, rel=0.02)
