@@ -392,6 +392,48 @@ def _q_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", "vec_id", F.round("cosine", 6).alias("cos_r"), "rank")
 
 
+def _q_buffered_admin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_spark.operators.geometry2 import buffer_ring
+    from geo_spark.sources.documents import synth_admin_polygons
+
+    polys = synth_admin_polygons(spark, grid_deg=10.0, with_holes=False).filter(
+        F.col("polygon_id") % 37 == 0
+    )
+    return polys.select(
+        "polygon_id", buffer_ring(F.col("exterior"), 0.5).alias("buffered")
+    ).select("polygon_id", F.size("buffered").alias("n_pieces"))
+
+
+def _q_polygon_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_spark.operators.geometry2 import validity_problems
+    from geo_spark.sources.documents import synth_admin_polygons
+
+    polys = synth_admin_polygons(spark, grid_deg=10.0, with_holes=True)
+    return polys.select(
+        "polygon_id",
+        F.size(validity_problems(F.col("exterior"), F.col("interiors"))).alias(
+            "n_problems"
+        ),
+    )
+
+
+def _q_voronoi_hotspot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_spark.operators.geometry2 import voronoi_of_group
+
+    pts = _derived_points(spark, sf_dir).filter(F.col("doc_id") % 4 == 0)
+    pts = pts.withColumn("group_id", F.pmod(F.col("doc_id"), F.lit(3)))
+    cells = voronoi_of_group(pts)
+    return cells.select(
+        "group_id", "lon", "lat", F.size("cell_ring").alias("n_ring_pts")
+    )
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=6)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_contains_grid10": _q_pip_grid,
@@ -423,6 +465,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_minhash_pairs,
         "doc_fingerprints": _q_fingerprints,
         "lsh_cosine_topk": _q_lsh_cosine,
+        "buffered_admin": _q_buffered_admin,
+        "polygon_validation": _q_polygon_validation,
+        "voronoi_hotspot": _q_voronoi_hotspot,
+        "simhash_near_pairs": _q_simhash_pairs,
     }
 
 

@@ -1,0 +1,118 @@
+"""Column surface for the construction/validation kernels (batch 2).
+
+Same conventions as operators/scalar.py: geometry in/out as
+array<struct<x,y>> (rings) or multipolygon structs, vectorized pandas UDFs
+per Arrow batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from geo_spark.operators.boolops import MULTIPOLY_TYPE, _result_to_rows
+from geo_spark.operators.scalar import COORDS_TYPE, _to_np, _to_rows
+
+
+def buffer_ring(coords: Column, r, quad_segs: int = 8) -> Column:
+    """Round-join buffer of a closed ring (as polygon) → multipolygon."""
+
+    @F.pandas_udf(MULTIPOLY_TYPE)
+    def udf(arrs: pd.Series, dist: pd.Series) -> pd.Series:
+        from geo_spark.kernels.buffer import buffer_polygon
+
+        out = []
+        for i, arr in enumerate(arrs):
+            out.append(
+                _result_to_rows(
+                    buffer_polygon(_to_np(arr), (), float(dist.iloc[i]), quad_segs)
+                )
+            )
+        return pd.Series(out)
+
+    return udf(coords, F.lit(r).cast("double"))
+
+
+def concave_hull_points(coords: Column, concavity: float = 2.0) -> Column:
+    @F.pandas_udf(COORDS_TYPE)
+    def udf(arrs: pd.Series) -> pd.Series:
+        from geo_spark.kernels.hull2 import concave_hull
+
+        return pd.Series([_to_rows(concave_hull(_to_np(a), concavity)) for a in arrs])
+
+    return udf(coords)
+
+
+def triangulate(coords: Column) -> Column:
+    """Ear-cut triangle index triples of a ring: array<array<int>>."""
+
+    @F.pandas_udf("array<array<int>>")
+    def udf(arrs: pd.Series) -> pd.Series:
+        from geo_spark.kernels.geom2 import triangulate_earcut
+
+        return pd.Series(
+            [[list(t) for t in triangulate_earcut(_to_np(a))] for a in arrs]
+        )
+
+    return udf(coords)
+
+
+def validity_problems(exterior: Column, interiors: Column) -> Column:
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def udf(ext: pd.Series, hol: pd.Series) -> pd.Series:
+        from geo_spark.kernels.geom2 import validate_polygon
+
+        out = []
+        for i in range(len(ext)):
+            hs = hol.iloc[i]
+            holes = [] if hs is None else [_to_np(h) for h in hs]
+            out.append(validate_polygon(_to_np(ext.iloc[i]), holes))
+        return pd.Series(out)
+
+    return udf(exterior, interiors)
+
+
+def interior_point_col(exterior: Column, interiors: Column) -> Column:
+    @F.pandas_udf("struct<x:double,y:double>")
+    def udf(ext: pd.Series, hol: pd.Series) -> pd.DataFrame:
+        from geo_spark.kernels.geom2 import interior_point
+
+        xs, ys = [], []
+        for i in range(len(ext)):
+            hs = hol.iloc[i]
+            holes = [] if hs is None else [_to_np(h) for h in hs]
+            p = interior_point(_to_np(ext.iloc[i]), holes)
+            xs.append(None if p is None else p[0])
+            ys.append(None if p is None else p[1])
+        return pd.DataFrame({"x": xs, "y": ys})
+
+    return udf(exterior, interiors)
+
+
+def voronoi_of_group(
+    df: DataFrame, group_col: str = "group_id", lon_col: str = "lon", lat_col: str = "lat"
+) -> DataFrame:
+    """Per-group Voronoi cells: one output row per input site with its cell."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        from geo_spark.kernels.triangulate import voronoi_cells
+
+        pts = pdf[[lon_col, lat_col]].to_numpy(dtype=np.float64)
+        cells = voronoi_cells(pts)
+        return pd.DataFrame(
+            {
+                group_col: pdf[group_col].to_numpy(),
+                lon_col: pts[:, 0],
+                lat_col: pts[:, 1],
+                "cell_ring": [_to_rows(c) for c in cells],
+            }
+        )
+
+    schema = (
+        f"{group_col} long, {lon_col} double, {lat_col} double, "
+        "cell_ring array<struct<x:double,y:double>>"
+    )
+    return df.groupBy(group_col).applyInPandas(fn, schema=schema)
