@@ -141,6 +141,16 @@ def run_level(total_cores: int) -> dict:
             .collect()[0][0]
         )
         samples.append(round(time.time() - t0, 2))
+    # determinism evidence: full per-polygon result hash must be identical
+    # across parallelism levels (SURVEY §5 determinism requirement)
+    import hashlib
+
+    joined = pip_join_points_polygons(pts, polys, predicate="contains")
+    rows = sorted(
+        (r["polygon_id"], r["n"])
+        for r in joined.groupBy("polygon_id").agg(F.count("*").alias("n")).collect()
+    )
+    result_hash = hashlib.sha256(str(rows).encode()).hexdigest()[:16]
     spark.stop()
     best = min(samples)
     return {
@@ -149,6 +159,7 @@ def run_level(total_cores: int) -> dict:
         "best_sec": best,
         "points_per_sec": round(POINTS / best, 1),
         "n_joined": int(n),
+        "result_hash": result_hash,
     }
 
 
@@ -169,6 +180,7 @@ def main():
         "N_executors_4": hi,
         "speedup_1_to_4_executors": round(lo["best_sec"] / hi["best_sec"], 2),
         "scaling_efficiency": round(eff, 3),
+        "deterministic_across_levels": lo["result_hash"] == hi["result_hash"],
     }
     print(json.dumps(out, indent=2))
 
