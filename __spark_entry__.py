@@ -420,9 +420,7 @@ def _q_polygon_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_voronoi_hotspot(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geo_spark.operators.geometry2 import voronoi_of_group
 
-    # hotspot sites, thinned: the per-group Voronoi build is O(n²) and the
-    # operator demo doesn't need thousands of sites per group
-    pts = _derived_points(spark, sf_dir).filter(F.col("doc_id") % 8 == 0)
+    pts = _derived_points(spark, sf_dir)
     pts = pts.withColumn("group_id", F.pmod(F.col("doc_id"), F.lit(3)))
     cells = voronoi_of_group(pts)
     return cells.select(

@@ -186,11 +186,25 @@ def simhash_fingerprints(
 def simhash_near_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
 ) -> DataFrame:
-    """Pairs with Hamming(simhash) ≤ max_hamming via 4×16-bit pigeonhole bands."""
+    """Pairs with Hamming(simhash) ≤ max_hamming via pigeonhole banding.
+
+    Band count is derived from the parameter: ``max_hamming + 1`` contiguous
+    bands over the 64 fingerprint bits guarantee (pigeonhole) that any pair
+    with ≤ max_hamming differing bits agrees on at least one whole band, so
+    recall is exact for every ``max_hamming`` ≤ 63. The exact Hamming filter
+    after the bucket join removes false positives.
+    """
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    n_bands = max_hamming + 1
+    widths = [64 // n_bands + (1 if b < 64 % n_bands else 0) for b in range(n_bands)]
+    offs = [sum(widths[:b]) for b in range(n_bands)]
     fps = simhash_fingerprints(df, id_col, text_col)
     bands = [
-        F.shiftrightunsigned(F.col("simhash"), 16 * b).bitwiseAND(F.lit(0xFFFF)).alias(f"band{b}")
-        for b in range(4)
+        F.shiftrightunsigned(F.col("simhash"), offs[b])
+        .bitwiseAND(F.lit((1 << widths[b]) - 1))
+        .alias(f"band{b}")
+        for b in range(n_bands)
     ]
     banded = fps.select(id_col, "simhash", F.posexplode(F.array(*bands)).alias("band_idx", "band_val"))
     a, b = banded.alias("a"), banded.alias("b")

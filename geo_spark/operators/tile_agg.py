@@ -49,19 +49,50 @@ def tile_counts(
 
     ``salt_buckets > 0`` enables two-phase salted aggregation for hot cells.
     Output: (tile, ix, iy, n [, extra aggs...]).
+
+    ``extra_aggs`` accepts either Column aggregates (unsalted path only) or
+    salt-combinable ("fn", col, alias) tuples with fn in {sum, min, max,
+    count} — those work on both paths (phase 1 computes the partial per
+    (tile, salt); phase 2 recombines on tile with sum∘sum / min∘min /
+    max∘max / sum∘count). Column aggregates with ``salt_buckets > 0`` raise:
+    an arbitrary Column aggregate is not decomposable into a salt-combinable
+    pair, and silently dropping it would return wrong columns.
     """
+    _COMBINE = {"sum": F.sum, "min": F.min, "max": F.max, "count": F.sum}
+    extra = list(extra_aggs or [])
+    tuple_aggs = [e for e in extra if isinstance(e, tuple)]
+    col_aggs = [e for e in extra if not isinstance(e, tuple)]
     df = points.withColumn("tile", cell_encode_col(lon_col, lat_col, res))
-    aggs = [F.count("*").alias("n")] + list(extra_aggs or [])
     if salt_buckets > 0:
+        if col_aggs:
+            raise ValueError(
+                "tile_counts(salt_buckets>0) cannot combine opaque Column "
+                "aggregates across salt partials; pass ('sum'|'min'|'max'|"
+                "'count', col, alias) tuples or use salt_buckets=0"
+            )
         df = df.withColumn(
             "_salt", F.pmod(F.hash(F.col(lon_col), F.col(lat_col)), F.lit(salt_buckets))
         )
-        # phase 1: partial agg on (tile, salt); phase 2: combine on tile.
-        # Only count/sum-style aggs are salt-combinable; callers needing
-        # other aggregates use salt_buckets=0 (AQE skew handling applies).
-        partial = df.groupBy("tile", "_salt").agg(F.count("*").alias("_pn"))
-        out = partial.groupBy("tile").agg(F.sum("_pn").alias("n"))
+        # phase 1: partial agg on (tile, salt); phase 2: combine on tile
+        partial_aggs = [F.count("*").alias("_pn")]
+        final_aggs = [F.sum("_pn").alias("n")]
+        for fn, col, alias in tuple_aggs:
+            if fn not in _COMBINE:
+                raise ValueError(f"unsupported salted aggregate fn: {fn}")
+            phase1 = F.count(col) if fn == "count" else getattr(F, fn)(col)
+            partial_aggs.append(phase1.alias(f"_p_{alias}"))
+            final_aggs.append(_COMBINE[fn](f"_p_{alias}").alias(alias))
+        partial = df.groupBy("tile", "_salt").agg(*partial_aggs)
+        out = partial.groupBy("tile").agg(*final_aggs)
     else:
+        aggs = [F.count("*").alias("n")]
+        for e in extra:
+            if isinstance(e, tuple):
+                fn, col, alias = e
+                agg = F.count(col) if fn == "count" else getattr(F, fn)(col)
+                aggs.append(agg.alias(alias))
+            else:
+                aggs.append(e)
         out = df.groupBy("tile").agg(*aggs)
     ix, iy = cell_xy_cols("tile")
     return out.withColumn("ix", ix).withColumn("iy", iy)
