@@ -349,15 +349,26 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_hull_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # oracle-checkable form: hull vertices exploded as rows; the group key is
+    # an arithmetic lang code both engines compute identically, and the
+    # DuckDB oracle re-derives the hull via the extreme-point characterization
+    # (∃ q: every other point is strictly left of p→q, or collinear in front)
     from geo_spark.operators.hulls import convex_hull_per_group
 
     docs = _docs(spark, sf_dir).select("doc_id", "lang")
     pts = _derived_points(spark, sf_dir).join(docs, "doc_id")
-    pts = pts.withColumn(
-        "group_id", F.pmod(F.xxhash64("lang"), F.lit(1000))
-    )
+    lang_id = (
+        F.ascii(F.substring("lang", 1, 1)) * 256 + F.ascii(F.substring("lang", 2, 1))
+    ).cast("long")
+    pts = pts.withColumn("group_id", lang_id)
     hulls = convex_hull_per_group(pts)
-    return hulls.select("group_id", "n_vertices", F.to_json("hull").alias("hull_json"))
+    verts = hulls.select(
+        F.col("group_id").alias("lang_id"),
+        F.explode(
+            F.slice(F.col("hull"), F.lit(1), F.greatest(F.size("hull") - 1, F.lit(0)))
+        ).alias("v"),
+    )
+    return verts.select("lang_id", F.col("v.x").alias("x"), F.col("v.y").alias("y"))
 
 
 def _q_dbscan_hotspot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -374,11 +385,11 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from geo_spark.operators.dedup import simhash_fingerprints
-    from geo_spark.operators.textstats import doc_fingerprint
+    # token-level winnowing (pure SQL, md5_60 hashes) — DuckDB reproduces
+    # the identical fingerprint set with list ops, so this is value-hash gated
+    from geo_spark.operators.textstats import winnow_fingerprints
 
-    docs = _docs(spark, sf_dir)
-    return simhash_fingerprints(docs).join(doc_fingerprint(docs), "doc_id")
+    return winnow_fingerprints(_docs(spark, sf_dir), ngram=3, window=4)
 
 
 def _q_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -396,22 +407,58 @@ def _q_buffered_admin(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geo_spark.operators.geometry2 import buffer_ring
     from geo_spark.sources.documents import synth_admin_polygons
 
+    from geo_spark.operators.geometry2 import multipolygon_area
+
     polys = synth_admin_polygons(spark, grid_deg=10.0, with_holes=False).filter(
         F.col("polygon_id") % 37 == 0
     )
+    # 10°-square buffered by 0.5 with quad_segs=8 round joins: one piece with
+    # analytic area A + P·r + (32-gon circle) — the DuckDB oracle recomputes it
     return polys.select(
         "polygon_id", buffer_ring(F.col("exterior"), 0.5).alias("buffered")
-    ).select("polygon_id", F.size("buffered").alias("n_pieces"))
+    ).select(
+        "polygon_id",
+        F.size("buffered").alias("n_pieces"),
+        F.round(multipolygon_area(F.col("buffered")), 6).alias("area_r"),
+    )
 
 
 def _q_polygon_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geo_spark.operators.geometry2 import validity_problems
     from geo_spark.sources.documents import synth_admin_polygons
 
+    # deterministic invalid variants make the validator oracle-checkable:
+    # pid%13==5 → bowtie exterior (zero-area + self-intersection = 2 problems);
+    # pid%13==7 → ring truncated to 3 points (too few points = 1);
+    # else pid%34==0 → hole translated outside the shell (= 1); else 0.
     polys = synth_admin_polygons(spark, grid_deg=10.0, with_holes=True)
+    pid = F.col("polygon_id")
+    ext = F.col("exterior")
+    bowtie = F.array(
+        F.element_at(ext, 1),
+        F.element_at(ext, 3),
+        F.element_at(ext, 2),
+        F.element_at(ext, 4),
+        F.element_at(ext, 5),
+    )
+    mut_ext = (
+        F.when(pid % 13 == 5, bowtie)
+        .when(pid % 13 == 7, F.slice(ext, 1, 3))
+        .otherwise(ext)
+    )
+    shifted = F.transform(
+        F.col("interiors"),
+        lambda ring: F.transform(
+            ring, lambda p: F.struct((p["x"] + 30.0).alias("x"), p["y"].alias("y"))
+        ),
+    )
+    mut_holes = F.when(
+        (pid % 13 != 5) & (pid % 13 != 7) & (pid % 34 == 0), shifted
+    ).otherwise(F.col("interiors"))
+    polys = polys.withColumn("m_ext", mut_ext).withColumn("m_holes", mut_holes)
     return polys.select(
         "polygon_id",
-        F.size(validity_problems(F.col("exterior"), F.col("interiors"))).alias(
+        F.size(validity_problems(F.col("m_ext"), F.col("m_holes"))).alias(
             "n_problems"
         ),
     )
@@ -431,7 +478,8 @@ def _q_voronoi_hotspot(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geo_spark.operators.dedup import simhash_near_pairs
 
-    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=6)
+    out = simhash_near_pairs(_docs(spark, sf_dir), max_hamming=6)
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -458,17 +506,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "destination_100km": _q_destination,
         "events_running_window": _q_events_running,
         "ngram_jaccard_consecutive": _q_ngram_jaccard,
-        # non-SQL-expressible (driver records rows-only checks; exact
-        # semantics covered by pytest parity suites):
         "hull_by_lang": _q_hull_by_lang,
-        "dbscan_hotspot": _q_dbscan_hotspot,
-        "minhash_lsh_pairs": _q_minhash_pairs,
         "doc_fingerprints": _q_fingerprints,
-        "lsh_cosine_topk": _q_lsh_cosine,
         "buffered_admin": _q_buffered_admin,
         "polygon_validation": _q_polygon_validation,
-        "voronoi_hotspot": _q_voronoi_hotspot,
         "simhash_near_pairs": _q_simhash_pairs,
+        # non-SQL-expressible (driver records rows-only checks; exact
+        # semantics covered by pytest parity suites):
+        "dbscan_hotspot": _q_dbscan_hotspot,
+        "minhash_lsh_pairs": _q_minhash_pairs,
+        "lsh_cosine_topk": _q_lsh_cosine,
+        "voronoi_hotspot": _q_voronoi_hotspot,
     }
 
 
@@ -757,5 +805,123 @@ def oracle_sql() -> dict[str, str]:
                         - len(list_intersect(a.grams, b.grams))) AS jaccard
             FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
             WHERE a.ntok >= 3 AND b.ntok >= 3
+        """,
+        # convex hull via the extreme-point characterization: p is a hull
+        # vertex iff some q exists with every other r strictly left of p→q
+        # (or collinear in front of p) — O(n³) per group, fine at sf0.01
+        "hull_by_lang": f"""
+            {pts},
+            pl AS (
+              SELECT CAST(ascii(substring(d.lang, 1, 1)) * 256
+                          + ascii(substring(d.lang, 2, 1)) AS BIGINT) AS lang_id,
+                     p.lon AS x, p.lat AS y
+              FROM pts p JOIN documents d USING (doc_id)
+            ),
+            cand AS (SELECT DISTINCT lang_id, x, y FROM pl),
+            ok AS (
+              SELECT a.lang_id, a.x, a.y
+              FROM cand a
+              JOIN cand b ON b.lang_id = a.lang_id
+                         AND NOT (b.x = a.x AND b.y = a.y)
+              JOIN cand r ON r.lang_id = a.lang_id
+                         AND NOT (r.x = a.x AND r.y = a.y)
+                         AND NOT (r.x = b.x AND r.y = b.y)
+              GROUP BY a.lang_id, a.x, a.y, b.x, b.y
+              HAVING bool_and(
+                  (b.x - a.x) * (r.y - a.y) - (b.y - a.y) * (r.x - a.x) > 0
+                  OR ((b.x - a.x) * (r.y - a.y) - (b.y - a.y) * (r.x - a.x) = 0
+                      AND (b.x - a.x) * (r.x - a.x) + (b.y - a.y) * (r.y - a.y) > 0)
+              )
+            )
+            SELECT DISTINCT lang_id, x, y FROM ok
+        """,
+        # token-level winnowing: 3-gram md5_60 hashes, window-4 minima,
+        # distinct — mirrors geo_spark.operators.textstats.winnow_fingerprints
+        "doc_fingerprints": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS t
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 3 THEN list_transform(
+                              range(1, len(t) - 1),
+                              i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+                          WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+                          ELSE [] END AS grams
+              FROM toks
+            ),
+            gh AS (
+              SELECT doc_id,
+                     list_transform(grams,
+                       s -> CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT)) AS h
+              FROM g
+            ),
+            m AS (
+              SELECT doc_id,
+                     CASE WHEN len(h) >= 4 THEN list_transform(
+                              range(1, len(h) - 2), i -> list_min(h[i:i+3]))
+                          WHEN len(h) > 0 THEN [list_min(h)]
+                          ELSE [] END AS mins
+              FROM gh
+            )
+            SELECT doc_id, UNNEST(list_distinct(mins)) AS fp_hash FROM m
+        """,
+        # square buffered with round joins: 1 piece, analytic area
+        # A + P·r + inscribed-32-gon circle (quad_segs=8 → 32 vertices)
+        "buffered_admin": """
+            SELECT CAST(pid AS BIGINT) AS polygon_id,
+                   CAST(1 AS INT) AS n_pieces,
+                   ROUND(100.0 + 40.0 * 0.5
+                         + 0.5 * 32 * 0.5 * 0.5 * SIN(2 * PI() / 32), 6) AS area_r
+            FROM range(0, 648) t(pid) WHERE pid % 37 = 0
+        """,
+        # expected problem counts for the deterministic invalid variants the
+        # Spark query injects (see _q_polygon_validation)
+        "polygon_validation": """
+            SELECT CAST(pid AS BIGINT) AS polygon_id,
+                   CAST(CASE WHEN pid % 13 = 5 THEN 2
+                             WHEN pid % 13 = 7 THEN 1
+                             WHEN pid % 34 = 0 THEN 1
+                             ELSE 0 END AS INT) AS n_problems
+            FROM range(0, 648) t(pid)
+        """,
+        # simhash re-derived from scratch: md5_60 token hashes → per-bit
+        # sign votes → fingerprint; brute-force pairs at Hamming ≤ 6
+        "simhash_near_pairs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS t
+              FROM documents
+            ),
+            th AS (
+              SELECT doc_id,
+                     UNNEST(list_transform(t,
+                       s -> CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT))) AS h
+              FROM toks
+            ),
+            votes AS (
+              SELECT doc_id, bb.b AS b,
+                     CAST(SUM(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END)
+                          AS BIGINT) AS v
+              FROM th, (SELECT UNNEST(range(0, 60)) AS b) bb
+              GROUP BY doc_id, bb.b
+            ),
+            fp AS (
+              SELECT doc_id,
+                     CAST(SUM(CASE WHEN v > 0
+                                   THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                          AS BIGINT) AS simhash
+              FROM votes GROUP BY doc_id
+            ),
+            allfp AS (
+              SELECT d.doc_id, CAST(COALESCE(f.simhash, 0) AS BIGINT) AS simhash
+              FROM documents d LEFT JOIN fp f USING (doc_id)
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+            FROM allfp a JOIN allfp b ON b.doc_id > a.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
         """,
     }

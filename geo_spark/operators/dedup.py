@@ -5,18 +5,27 @@ inline):
 
 - **exact**: md5(text) groupBy — one shuffle on a uniform hash key; no skew
   by construction.
-- **MinHash + LSH**: shingle → minhash signature (vectorized numpy pandas
-  UDF, one pass) → band buckets → candidate pairs via a self-join on
-  (band_idx, band_hash) — the shuffle key is the bucket id, so only
-  near-duplicate clusters co-locate; banding keeps the candidate set linear
-  in practice. Verification recomputes exact Jaccard on the pair.
+- **MinHash + LSH**: shingle → minhash signature → band buckets → candidate
+  pairs via a self-join on (band_idx, band_hash) — the shuffle key is the
+  bucket id, so only near-duplicate clusters co-locate; banding keeps the
+  candidate set linear in practice. Verification recomputes exact Jaccard
+  on the pair.
 - **SimHash**: 64-bit fingerprint via sign-sum of per-token hash vectors;
-  near-dups = Hamming distance ≤ t, found by pigeonhole banding (4 bands of
-  16 bits → any pair within distance 3 shares a band).
+  near-dups = Hamming distance ≤ t, found by pigeonhole banding with
+  ``max_hamming + 1`` bands (exact recall for any threshold).
 - **n-gram Jaccard**: exact verification metric for candidate pairs.
 
-Determinism: all hash functions are fixed-constant multiplicative/xorshift —
-no RNG state, reproducible across runs and partitionings.
+Hot-path design for 100 TB: n-gram construction and the per-gram 64-bit
+hashing run **JVM-side** (higher-order SQL + ``xxhash64`` / ``md5``+``conv``)
+— no Python string handling anywhere. The only Python is one vectorized
+numpy broadcast per Arrow batch that folds the pre-hashed int64 arrays into
+signatures/fingerprints.
+
+Determinism: all hash functions are fixed-constant (xxhash64 seed 42 /
+md5) — no RNG state, reproducible across runs and partitionings. The
+``md5_60`` hasher (top 60 bits of md5, parsed identically by Spark's
+``conv`` and DuckDB's hex cast) exists so fingerprints are reproducible in
+the DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -31,39 +40,40 @@ _MERSENNE = (1 << 61) - 1
 _N_PERM_DEFAULT = 64
 
 
-def _token_ngrams(text: str, n: int) -> set:
-    toks = text.split()
-    if len(toks) < n:
-        return {" ".join(toks)} if toks else set()
-    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+def gram_hashes_col(text_col, ngram: int, hasher: str = "xxhash64"):
+    """array<long> of token-n-gram hashes — built entirely JVM-side.
 
+    Tokenization, n-gram assembly and the 64-bit hash are higher-order SQL
+    (whole-stage JVM, no Python): at 100 TB the shingling is the hottest
+    loop in the dedup pipeline, so it must never touch Python strings.
 
-def _hash64(arr: np.ndarray) -> np.ndarray:
-    """Deterministic 64-bit mix (splitmix64 finalizer) over int64 input."""
-    x = arr.astype(np.uint64)
-    x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
-    x ^= x >> np.uint64(30)
-    x = (x * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(0xFFFFFFFFFFFFFFFF)
-    x ^= x >> np.uint64(27)
-    x = (x * np.uint64(0x94D049BB133111EB)) & np.uint64(0xFFFFFFFFFFFFFFFF)
-    x ^= x >> np.uint64(31)
-    return x
-
-
-def _hash_str64(s: str) -> int:
-    """Deterministic 64-bit string hash (blake2b — C speed, unsalted)."""
-    import hashlib
-
-    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
-
-
-def _shingle_hashes(text: str, ngram: int) -> np.ndarray:
-    grams = _token_ngrams(text, ngram)
-    if not grams:
-        return np.zeros(1, dtype=np.int64)
-    # Python's hash() is salted; blake2b is deterministic and C-speed
-    out = np.fromiter((_hash_str64(g) for g in grams), dtype=np.uint64, count=len(grams))
-    return out.astype(np.int64)
+    Hashers: ``xxhash64`` (fastest, seed 42); ``md5_60`` (top 60 bits of
+    md5 via ``conv(substring(md5(g),1,15),16,10)`` — bit-identical to
+    DuckDB's ``('0x' || substring(md5(g),1,15))::BIGINT``, for oracle-
+    checkable fingerprints). Empty/whitespace-only text → empty array.
+    """
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.filter(F.split(col, " "), lambda x: x != "")
+    n_tok = F.size(toks)
+    if ngram == 1:
+        grams = toks
+    else:
+        idxs = F.sequence(F.lit(0), F.greatest(n_tok - ngram, F.lit(0)))
+        grams = F.when(
+            n_tok >= ngram,
+            F.transform(idxs, lambda i: F.array_join(F.slice(toks, i + 1, ngram), " ")),
+        ).otherwise(
+            F.when(n_tok > 0, F.array(F.array_join(toks, " "))).otherwise(
+                F.array().cast("array<string>")
+            )
+        )
+    if hasher == "xxhash64":
+        return F.transform(grams, lambda g: F.xxhash64(g, F.lit(42)))
+    if hasher == "md5_60":
+        return F.transform(
+            grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+        )
+    raise ValueError(f"unknown hasher: {hasher}")
 
 
 def minhash_signatures(
@@ -75,28 +85,36 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, signature array<long>) — vectorized MinHash over token n-grams.
 
-    Permutations are (a_i * h + b_i) mod p with fixed seeded constants; the
-    whole signature matrix for an Arrow batch is one numpy einsum-style
-    broadcast, no per-row Python beyond shingling.
+    Shingle hashes come pre-computed from the JVM (``gram_hashes_col``);
+    permutations are (a_i * h + b_i) mod p with fixed seeded constants; the
+    whole signature matrix per row is one numpy broadcast over the int64
+    array — no Python string handling anywhere.
     """
     rng = np.random.RandomState(42)
     A = rng.randint(1, _MERSENNE, size=n_perm, dtype=np.int64)
     B = rng.randint(0, _MERSENNE, size=n_perm, dtype=np.int64)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
-    def sig_udf(texts: pd.Series) -> pd.Series:
+    def sig_udf(hashes: pd.Series) -> pd.Series:
+        Au = A[:, None].astype(np.uint64)
+        Bu = B[:, None].astype(np.uint64)
+        empty = (Bu[:, 0] % np.uint64(_MERSENNE)).astype(np.int64)
         out = []
-        for txt in texts:
-            h = _shingle_hashes(txt or "", ngram).astype(np.uint64)
+        for h in hashes:
+            arr = np.asarray(h, dtype=np.int64).astype(np.uint64)
+            if arr.size == 0:
+                out.append(empty)
+                continue
             # (n_perm, n_shingles) permuted hashes → row-wise min
-            vals = (
-                (A[:, None].astype(np.uint64) * (h[None, :] & np.uint64(0x7FFFFFFFFFFFFFFF)))
-                + B[:, None].astype(np.uint64)
-            ) % np.uint64(_MERSENNE)
+            vals = (Au * (arr[None, :] & np.uint64(0x7FFFFFFFFFFFFFFF)) + Bu) % np.uint64(
+                _MERSENNE
+            )
             out.append(vals.min(axis=1).astype(np.int64))
         return pd.Series(out)
 
-    return df.select(id_col, sig_udf(F.col(text_col)).alias("signature"))
+    return df.select(
+        id_col, sig_udf(gram_hashes_col(text_col, ngram)).alias("signature")
+    )
 
 
 def minhash_lsh_pairs(
@@ -158,29 +176,33 @@ def minhash_lsh_pairs(
 def simhash_fingerprints(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(id, simhash long) — 64-bit SimHash over whitespace tokens."""
+    """(id, simhash long) — SimHash over whitespace tokens.
+
+    Token hashes are the oracle-reproducible ``md5_60`` (JVM-side, 60
+    informative bits — DuckDB computes the identical fingerprint, so the
+    driver's value-hash gate can check this operator end-to-end); the
+    bit-vote fold is one numpy broadcast per row over the int64 array.
+    """
+    hashes = gram_hashes_col(text_col, 1, hasher="md5_60")
 
     @F.pandas_udf(T.LongType())
-    def simhash_udf(texts: pd.Series) -> pd.Series:
-        out = np.empty(len(texts), dtype=np.int64)
-        bit_idx = np.arange(64, dtype=np.uint64)
-        for i, txt in enumerate(texts):
-            toks = (txt or "").split()
-            if not toks:
+    def simhash_udf(hs: pd.Series) -> pd.Series:
+        out = np.empty(len(hs), dtype=np.int64)
+        bit_idx = np.arange(60, dtype=np.uint64)
+        for i, h in enumerate(hs):
+            arr = np.asarray(h, dtype=np.int64).astype(np.uint64)
+            if arr.size == 0:
                 out[i] = 0
                 continue
-            hs = np.fromiter(
-                (_hash_str64(tk) for tk in toks), dtype=np.uint64, count=len(toks)
-            )
-            bits = (hs[:, None] >> bit_idx[None, :]) & np.uint64(1)
+            bits = (arr[:, None] >> bit_idx[None, :]) & np.uint64(1)
             votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-            fp = np.uint64(0)
+            fp = 0
             for b in np.flatnonzero(votes > 0):
-                fp |= np.uint64(1) << np.uint64(b)
-            out[i] = np.int64(fp.astype(np.int64))
+                fp |= 1 << int(b)
+            out[i] = fp
         return pd.Series(out)
 
-    return df.select(id_col, simhash_udf(F.col(text_col)).alias("simhash"))
+    return df.select(id_col, simhash_udf(hashes).alias("simhash"))
 
 
 def simhash_near_pairs(

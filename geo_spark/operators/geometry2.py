@@ -36,6 +36,30 @@ def buffer_ring(coords: Column, r, quad_segs: int = 8) -> Column:
     return udf(coords, F.lit(r).cast("double"))
 
 
+def multipolygon_area(mp: Column) -> Column:
+    """Unsigned area of a multipolygon column (shoelace; holes subtract).
+
+    Parity: ``Area`` over MultiPolygon (``geo/src/algorithm/area.rs``) —
+    sum over pieces of |exterior| − Σ|holes|.
+    """
+
+    @F.pandas_udf(T.DoubleType())
+    def udf(mps: pd.Series) -> pd.Series:
+        from geo_spark.kernels.area import ring_signed_area
+
+        out = []
+        for pieces in mps:
+            tot = 0.0
+            for piece in pieces or []:
+                tot += abs(ring_signed_area(_to_np(piece["exterior"])))
+                for h in piece["interiors"] or []:
+                    tot -= abs(ring_signed_area(_to_np(h)))
+            out.append(tot)
+        return pd.Series(out)
+
+    return udf(mp)
+
+
 def concave_hull_points(coords: Column, concavity: float = 2.0) -> Column:
     @F.pandas_udf(COORDS_TYPE)
     def udf(arrs: pd.Series) -> pd.Series:

@@ -90,6 +90,49 @@ def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """(id, fp_hash) rows — token-level winnowing, pure SQL end to end.
+
+    Classic winnowing (Schleimer et al., SIGMOD'03) over token n-grams:
+    hash every n-gram (``md5_60`` — JVM-side and DuckDB-reproducible), slide
+    a ``window`` over consecutive gram hashes keeping each window's minimum,
+    output the distinct selected hashes. Guarantees any shared run of
+    ``window + ngram - 1`` tokens between two documents contributes at
+    least one shared fingerprint — the document-level containment sketch.
+
+    Tokenize/gram/hash run JVM-side; the sliding window-min is one numpy
+    ``sliding_window_view().min`` per row (Catalyst's interpreted
+    ``slice``+``array_min`` lambda is ~10× slower on realistic docs).
+    """
+    from geo_spark.operators.dedup import gram_hashes_col
+
+    gh = gram_hashes_col(text_col, ngram, hasher="md5_60")
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def win_min(hs: pd.Series) -> pd.Series:
+        out = []
+        for h in hs:
+            arr = np.asarray(h, dtype=np.int64)
+            if arr.size == 0:
+                out.append(np.empty(0, dtype=np.int64))
+            elif arr.size < window:
+                out.append(np.unique(arr.min(keepdims=True)))
+            else:
+                sl = np.lib.stride_tricks.sliding_window_view(arr, window)
+                out.append(np.unique(sl.min(axis=1)))
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col), F.explode(win_min(gh)).alias("fp_hash")
+    )
+
+
 def doc_fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                     window: int = 16) -> DataFrame:
     """(id, fingerprint long) — winnowed rolling-hash document fingerprint.
@@ -101,6 +144,9 @@ def doc_fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
 
     @F.pandas_udf(T.LongType())
     def fp_udf(texts: pd.Series) -> pd.Series:
+        # uint64 arithmetic wraps mod 2^64 by design — silence numpy's
+        # scalar-overflow RuntimeWarning for the whole batch
+        np.seterr(over="ignore")
         out = np.empty(len(texts), dtype=np.int64)
         base = np.uint64(1099511628211)
         for i, txt in enumerate(texts):

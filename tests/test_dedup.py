@@ -1,0 +1,89 @@
+"""Dedup-tier behavior gates: JVM-side shingle hashing parity, MinHash LSH
+recall on controlled near-duplicates, and partitioning-independence
+(determinism) of the banded self-joins.
+"""
+
+import hashlib
+
+import numpy as np
+from pyspark.sql import functions as F
+
+
+def test_md5_60_hasher_matches_python(spark):
+    from geo_spark.operators.dedup import gram_hashes_col
+
+    text = "hello world foo bar"
+    df = spark.createDataFrame([(text,)], "text string")
+    got = df.select(gram_hashes_col("text", 1, "md5_60").alias("h")).collect()[0]["h"]
+    exp = [int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in text.split()]
+    assert got == exp
+
+
+def test_gram_hashes_trigram_assembly(spark):
+    from geo_spark.operators.dedup import gram_hashes_col
+
+    text = "a b  c d"  # double space must not produce empty tokens
+    df = spark.createDataFrame([(text,), ("",), ("xy",)], "text string")
+    got = df.select(gram_hashes_col("text", 3, "md5_60").alias("h")).collect()
+    exp0 = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in ("a b c", "b c d")]
+    assert got[0]["h"] == exp0
+    assert got[1]["h"] == []  # empty text → empty array
+    assert got[2]["h"] == [int(hashlib.md5(b"xy").hexdigest()[:15], 16)]  # short doc
+
+
+def _near_dup_corpus(spark):
+    rows = []
+    for f in range(5):
+        fam = " ".join(f"f{f}w{i}" for i in range(100))
+        toks = fam.split()
+        toks[10], toks[50], toks[90] = "x", "y", "z"  # Jaccard ≈ 0.84 vs fam
+        rows += [(f * 10, fam), (f * 10 + 1, fam), (f * 10 + 2, " ".join(toks))]
+    for j in range(40):
+        rows.append((1000 + j, " ".join(f"r{j}_{i}" for i in range(100))))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_lsh_recall_and_determinism(spark):
+    from geo_spark.operators.dedup import minhash_lsh_pairs
+
+    df = _near_dup_corpus(spark)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(df, threshold=0.5).collect()
+    }
+    for f in range(5):
+        a, b, c = f * 10, f * 10 + 1, f * 10 + 2
+        assert (a, b) in pairs  # exact duplicate: every band collides
+        assert (a, c) in pairs and (b, c) in pairs  # near-dup at j≈0.84
+    # no cross-family / random-doc false positives above the threshold
+    assert all(abs(a - b) <= 2 for a, b in pairs)
+    # identical output under a different partitioning (fixed hash constants)
+    pairs2 = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(df.repartition(7), threshold=0.5).collect()
+    }
+    assert pairs2 == pairs
+
+
+def test_minhash_est_tracks_exact_jaccard(spark):
+    from geo_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    df = _near_dup_corpus(spark)
+    cand = minhash_lsh_pairs(df, threshold=0.5)
+    verified = ngram_jaccard_pairs(df, cand.select("id_a", "id_b", "est_jaccard"))
+    for r in verified.collect():
+        assert abs(r["est_jaccard"] - r["jaccard"]) < 0.25, (
+            r["id_a"], r["id_b"], r["est_jaccard"], r["jaccard"],
+        )
+
+
+def test_simhash_empty_and_short_docs(spark):
+    from geo_spark.operators.dedup import simhash_fingerprints
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, "one"), (3, "one")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(df).collect()}
+    assert got[0] == 0 and got[1] == 0
+    assert got[2] == got[3] != 0
+    assert got[2] < (1 << 60)  # md5_60: only 60 informative bits
