@@ -12,15 +12,23 @@ DBSCAN re-expressed for Spark (reference semantics:
    (``applyInPandas``) — core/noise decisions for home points are exact
    because their whole neighborhood is present;
 4. merge cross-cell clusters: a point labeled non-noise in several cells'
-   runs witnesses that those (cell, local_label) clusters are one — the
-   distinct witness edges are tiny (≈ clusters crossing a boundary), so a
-   driver-side union-find canonicalizes them;
+   runs witnesses that those (cell, local_label) clusters are one. Small
+   witness-edge sets (≤ ``driver_merge_threshold``) canonicalize with a
+   driver union-find; larger ones run a fully distributed
+   connected-components pass (min-label propagation + pointer jumping,
+   O(log diameter) join rounds) — at web scale #clusters can reach 10⁷⁺ and
+   must never be collected;
 5. each point takes the canonical id of its home-cell label, or (if noise at
    home) the minimum canonical id among foreign assignments, else -1.
 
+Both merge paths produce byte-identical cluster ids (components numbered
+densely by their minimum (cell, label) key), so the choice is purely a
+scale knob.
+
 Scale notes: the only quadratic work is inside a cell (bounded by cell
 size / chosen resolution); hot cells can be re-run at a finer resolution.
-The merge state is O(#clusters), not O(#points).
+The merge state is O(#clusters), not O(#points), and is never collected on
+the distributed path.
 
 LOF runs per (cell + halo) the same way — exact for k-neighborhoods that fit
 within epsilon-halo distance, the standard distributed approximation.
@@ -78,6 +86,109 @@ def _with_halo_cells(df: DataFrame, lon: str, lat: str, epsilon: float, res: int
     )
 
 
+def _canon_driver(edge_rows, key_rows, spark) -> DataFrame | None:
+    """Union-find on the driver → (cell, label, gid) DataFrame (small-N path)."""
+    parent: dict = {}
+
+    def find(k):
+        parent.setdefault(k, k)
+        while parent[k] != k:
+            parent[k] = parent[parent[k]]
+            k = parent[k]
+        return k
+
+    def union(p, q):
+        rp, rq = find(p), find(q)
+        if rp != rq:
+            parent[max(rp, rq)] = min(rp, rq)
+
+    for r in edge_rows:
+        union((r["ca"], r["la"]), (r["cb"], r["lb"]))
+    roots: dict = {}
+    for r in sorted(find((k["cell"], k["label"])) for k in key_rows):
+        if r not in roots:
+            roots[r] = len(roots)
+    canon_rows = [
+        (k["cell"], k["label"], roots[find((k["cell"], k["label"]))]) for k in key_rows
+    ]
+    if not canon_rows:
+        return None
+    return spark.createDataFrame(canon_rows, schema="cell long, label long, gid long")
+
+
+def _canon_distributed(edges: DataFrame, keys: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Connected components over (cell, label) vertices without collecting.
+
+    Min-label propagation with pointer jumping: each round every vertex
+    takes the minimum component id among itself and its neighbors, then
+    follows its component pointer once (comp ← comp(comp)) — the doubling
+    makes convergence O(log diameter) join rounds. Vertex ids are dense
+    ranks of (cell, label), so the final component id is the minimum
+    (cell, label) in the component and the dense ``gid`` numbering is
+    byte-identical to the driver union-find path.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy("cell", "label")
+    vids = keys.select(
+        "cell", "label", (F.row_number().over(w) - 1).cast("long").alias("vid")
+    ).localCheckpoint()
+    va = vids.select(
+        F.col("cell").alias("ca"), F.col("label").alias("la"), F.col("vid").alias("src")
+    )
+    vb = vids.select(
+        F.col("cell").alias("cb"), F.col("label").alias("lb"), F.col("vid").alias("dst")
+    )
+    e = edges.join(va, ["ca", "la"]).join(vb, ["cb", "lb"]).select("src", "dst")
+    e = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+
+    comp = vids.select("vid", F.col("vid").alias("comp"))
+    for _ in range(max_iter):
+        nb = (
+            e.join(comp, e["src"] == comp["vid"])
+            .groupBy("dst")
+            .agg(F.min("comp").alias("nb"))
+        )
+        c2 = (
+            comp.join(nb, comp["vid"] == nb["dst"], "left")
+            .select(
+                "vid",
+                F.least(F.col("comp"), F.coalesce(F.col("nb"), F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+        )
+        # pointer jump: comp ← comp(comp)
+        cc = c2.select(F.col("vid").alias("v2"), F.col("comp").alias("c2"))
+        c3 = (
+            c2.join(cc, c2["comp"] == cc["v2"], "left")
+            .select(c2["vid"], F.coalesce(cc["c2"], c2["comp"]).alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            c3.join(comp.withColumnRenamed("comp", "old"), "vid")
+            .filter(F.col("comp") != F.col("old"))
+            .count()
+        )
+        comp = c3
+        if changed == 0:
+            break
+    # dense gid by ascending component id == ascending min (cell, label)
+    wg = Window.orderBy("comp")
+    gids = (
+        comp.select("comp").distinct().select(
+            "comp", (F.row_number().over(wg) - 1).cast("long").alias("gid")
+        )
+    )
+    return (
+        comp.join(gids, "comp")
+        .join(vids, "vid")
+        .select("cell", "label", "gid")
+    )
+
+
 def dbscan(
     points: DataFrame,
     epsilon: float,
@@ -86,8 +197,14 @@ def dbscan(
     lon_col: str = "lon",
     lat_col: str = "lat",
     res: int | None = None,
+    driver_merge_threshold: int = 100_000,
 ) -> DataFrame:
-    """(id, cluster bigint) — cluster ids canonical & deterministic, noise=-1."""
+    """(id, cluster bigint) — cluster ids canonical & deterministic, noise=-1.
+
+    ``driver_merge_threshold``: witness-edge count above which the cross-cell
+    merge runs as distributed connected components instead of a driver
+    union-find (0 forces the distributed path). Both give identical ids.
+    """
     if res is None:
         res = _res_for_epsilon(epsilon)
     spark = points.sparkSession
@@ -125,40 +242,21 @@ def dbscan(
         .filter((F.col("ca") < F.col("cb")) | ((F.col("ca") == F.col("cb")) & (F.col("la") < F.col("lb"))))
         .select("ca", "la", "cb", "lb")
         .distinct()
-        .collect()
     )
-    # driver-side union-find over (cell, label) keys — O(#clusters)
-    parent: dict = {}
+    keys = labeled.filter("label >= 0").select("cell", "label").distinct()
 
-    def find(k):
-        parent.setdefault(k, k)
-        while parent[k] != k:
-            parent[k] = parent[parent[k]]
-            k = parent[k]
-        return k
-
-    def union(p, q):
-        rp, rq = find(p), find(q)
-        if rp != rq:
-            parent[max(rp, rq)] = min(rp, rq)
-
-    for r in edges:
-        union((r["ca"], r["la"]), (r["cb"], r["lb"]))
-
-    keys = labeled.filter("label >= 0").select("cell", "label").distinct().collect()
-    canon = {}
-    roots = {}
-    for r in sorted((find((k["cell"], k["label"])) for k in keys)):
-        if r not in roots:
-            roots[r] = len(roots)
-    for k in keys:
-        canon[(k["cell"], k["label"])] = roots[find((k["cell"], k["label"]))]
-    canon_rows = [(c, l, g) for (c, l), g in canon.items()]
-    if canon_rows:
-        canon_df = spark.createDataFrame(canon_rows, schema="cell long, label long, gid long")
-        with_gid = labeled.join(F.broadcast(canon_df), ["cell", "label"], "left")
+    n_edges = edges.limit(driver_merge_threshold + 1).count() if driver_merge_threshold > 0 else 1
+    if driver_merge_threshold > 0 and n_edges <= driver_merge_threshold:
+        canon_df = _canon_driver(edges.collect(), keys.collect(), spark)
+        if canon_df is not None:
+            with_gid = labeled.join(F.broadcast(canon_df), ["cell", "label"], "left")
+        else:
+            with_gid = labeled.withColumn("gid", F.lit(None).cast("long"))
     else:
-        with_gid = labeled.withColumn("gid", F.lit(None).cast("long"))
+        # big-merge path: the canon table may hold millions of clusters —
+        # shuffle join, never broadcast, never collect
+        canon_df = _canon_distributed(edges, keys)
+        with_gid = labeled.join(canon_df, ["cell", "label"], "left")
 
     # home label wins; noise-at-home takes min foreign gid; else -1
     per_point = with_gid.groupBy(id_col).agg(

@@ -42,29 +42,62 @@ from geo_spark.index.cells import cover_polygon, pick_cover_res
 _BC_CACHE: dict = {}
 
 
-def _polygon_cover_rows(poly_rows, res: int):
-    """(cell, polygon_id, full, xmin, ymin, xmax, ymax) rows — bbox inlined so
-    the broadcast side is a single local relation (no prep join)."""
-    rows = []
-    for r in poly_rows:
-        ext = np.asarray([(c["x"], c["y"]) for c in r["exterior"]], dtype=np.float64)
-        holes = [
-            np.asarray([(c["x"], c["y"]) for c in ring], dtype=np.float64)
-            for ring in (r["interiors"] or [])
-        ]
-        cells, full = cover_polygon(ext, holes, res=res)
-        bb = (float(r["xmin"]), float(r["ymin"]), float(r["xmax"]), float(r["ymax"]))
-        for c, f in zip(cells.tolist(), full.tolist()):
-            rows.append((int(c), int(r["polygon_id"]), bool(f)) + bb)
-    return rows
+def _distributed_cover_rows(polygons: DataFrame, res: int):
+    """Compute polygon cell covers on the executors, collect only the compact
+    (cell, polygon_id, full, xmin, ymin, xmax, ymax) rows.
+
+    The per-polygon cover construction (cell walk + exact full/partial
+    classification) is the CPU-heavy prep step; at ~1M admin polygons a
+    driver loop serializes minutes of work, so it runs as ``mapInPandas``
+    over however many partitions the polygon table has. The collected rows
+    are compact (no geometry), sized like the broadcast relation itself.
+    """
+
+    def fn(it):
+        for pdf in it:
+            cells_o, pids_o, fulls_o, bbs = [], [], [], []
+            for r in pdf.itertuples(index=False):
+                ext = np.asarray([(c["x"], c["y"]) for c in r.exterior], dtype=np.float64)
+                holes = [
+                    np.asarray([(c["x"], c["y"]) for c in ring], dtype=np.float64)
+                    for ring in (r.interiors if r.interiors is not None else [])
+                ]
+                cells, full = cover_polygon(ext, holes, res=res)
+                cells_o.append(cells.astype(np.int64))
+                fulls_o.append(full.astype(bool))
+                pids_o.append(np.full(len(cells), int(r.polygon_id), dtype=np.int64))
+                bbs.append((float(r.xmin), float(r.ymin), float(r.xmax), float(r.ymax), len(cells)))
+            if not cells_o:
+                continue
+            reps = [b[4] for b in bbs]
+            yield pd.DataFrame(
+                {
+                    "cell": np.concatenate(cells_o),
+                    "polygon_id": np.concatenate(pids_o),
+                    "full": np.concatenate(fulls_o),
+                    "xmin": np.repeat([b[0] for b in bbs], reps),
+                    "ymin": np.repeat([b[1] for b in bbs], reps),
+                    "xmax": np.repeat([b[2] for b in bbs], reps),
+                    "ymax": np.repeat([b[3] for b in bbs], reps),
+                }
+            )
+
+    schema = (
+        "cell long, polygon_id long, full boolean, "
+        "xmin double, ymin double, xmax double, ymax double"
+    )
+    sdf = polygons.select(
+        "polygon_id", "exterior", "interiors", "xmin", "ymin", "xmax", "ymax"
+    ).mapInPandas(fn, schema=schema)
+    return [tuple(r) for r in sdf.collect()]
 
 
-def choose_res(poly_rows, target_cells_per_polygon: int = 16, max_res: int = 14) -> int:
+def choose_res(bbox_rows, target_cells_per_polygon: int = 16, max_res: int = 14) -> int:
     """Resolution whose cells are ~1/4 the linear size of a median polygon bbox."""
-    if not poly_rows:
+    if not bbox_rows:
         return 6
     widths = []
-    for r in poly_rows[:2048]:
+    for r in bbox_rows[:2048]:
         widths.append(max(r["xmax"] - r["xmin"], (r["ymax"] - r["ymin"]) * 2.0, 1e-9))
     med = float(np.median(widths))
     for res in range(max_res, -1, -1):
@@ -95,13 +128,16 @@ def pip_join_points_polygons(
     (+ ``position`` when requested).
     """
     spark = points.sparkSession
-    poly_rows = polygons.select(
-        "polygon_id", "exterior", "interiors", "xmin", "ymin", "xmax", "ymax"
-    ).collect()
     if res is None:
-        res = choose_res(poly_rows)
+        # cheap: bbox columns only, sampled — never collects geometry
+        res = choose_res(
+            polygons.select("xmin", "ymin", "xmax", "ymax").limit(2048).collect()
+        )
 
-    cover_rows = _polygon_cover_rows(poly_rows, res)
+    cover_rows = _distributed_cover_rows(polygons, res)
+    # geometry collect: inherent to the broadcast-refine design (the polygon
+    # side must fit in a broadcast); the cover CPU work above is distributed
+    poly_rows = polygons.select("polygon_id", "exterior", "interiors").collect()
     if refine == "sql":
         # Catalyst-native refine: partial cells carry the polygon geometry
         # through the broadcast; full cells carry NULL (no geometry needed).

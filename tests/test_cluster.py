@@ -95,3 +95,36 @@ def test_kmeans_wrapper(spark):
     ca = {got[i] for i in range(30)}
     cb = {got[i] for i in range(30, 60)}
     assert len(ca) == 1 and len(cb) == 1 and ca != cb
+
+
+def test_distributed_merge_path_matches_driver(spark):
+    # a dense snake spanning ~14 cell columns (epsilon 0.25 → res cells 1.4°
+    # wide): the cluster graph is a long chain, so min-label propagation
+    # needs several pointer-jump rounds — plus two separate blobs and noise.
+    rng = np.random.RandomState(9)
+    xs = np.linspace(-10.0, 10.0, 201)  # step 0.1
+    rows = [(i, float(x), float(np.sin(x) * 0.3)) for i, x in enumerate(xs)]
+    blob1 = rng.normal([40.0, 20.0], 0.05, (30, 2))
+    blob2 = rng.normal([-80.0, -40.0], 0.05, (30, 2))
+    base = len(rows)
+    rows += [(base + i, float(x), float(y)) for i, (x, y) in enumerate(blob1)]
+    base = len(rows)
+    rows += [(base + i, float(x), float(y)) for i, (x, y) in enumerate(blob2)]
+    rows += [(10_000 + i, float(lon), float(lat))
+             for i, (lon, lat) in enumerate(rng.uniform(-150, 150, (15, 2)) * [1, 0.5])]
+    df = spark.createDataFrame(rows, schema="id long, lon double, lat double")
+
+    via_driver = {
+        r["id"]: r["cluster"]
+        for r in dbscan(df, epsilon=0.25, min_samples=3, id_col="id").collect()
+    }
+    via_distributed = {
+        r["id"]: r["cluster"]
+        for r in dbscan(
+            df, epsilon=0.25, min_samples=3, id_col="id", driver_merge_threshold=0
+        ).collect()
+    }
+    assert via_distributed == via_driver  # identical ids, not just partitions
+    # the snake must be one cluster on both paths
+    snake = {via_distributed[i] for i in range(201)}
+    assert len(snake) == 1 and -1 not in snake
