@@ -482,6 +482,40 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
+def _q_relate_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # full DE-9IM relate (kernels/relate2.py) over deterministic polygon
+    # pairs: each grid cell vs itself shifted east by a half cell (overlap),
+    # a whole cell (edge touch), or two cells (disjoint) — the oracle knows
+    # each pid's exact matrix
+    from geo_spark.functions import de9im_overlaps_areas_col, de9im_touches_col
+    from geo_spark.operators.geometry2 import relate_polygons
+    from geo_spark.sources.documents import synth_admin_polygons
+
+    polys = synth_admin_polygons(spark, grid_deg=10.0, with_holes=False).filter(
+        F.col("polygon_id") % 5 == 0
+    )
+    pid = F.col("polygon_id")
+    shift = (
+        F.when(pid % 3 == 0, F.lit(5.0))
+        .when(pid % 3 == 1, F.lit(10.0))
+        .otherwise(F.lit(20.0))
+    )
+    ext_b = F.transform(
+        F.col("exterior"),
+        lambda p: F.struct((p["x"] + shift).alias("x"), p["y"].alias("y")),
+    )
+    no_holes = F.array().cast("array<array<struct<x:double,y:double>>>")
+    df = polys.withColumn(
+        "matrix", relate_polygons(F.col("exterior"), no_holes, ext_b, no_holes)
+    )
+    return df.select(
+        "polygon_id",
+        "matrix",
+        de9im_touches_col("matrix").alias("touches"),
+        de9im_overlaps_areas_col("matrix").alias("overlaps"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_contains_grid10": _q_pip_grid,
@@ -511,6 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "buffered_admin": _q_buffered_admin,
         "polygon_validation": _q_polygon_validation,
         "simhash_near_pairs": _q_simhash_pairs,
+        "relate_grid_neighbors": _q_relate_grid,
         # non-SQL-expressible (driver records rows-only checks; exact
         # semantics covered by pytest parity suites):
         "dbscan_hotspot": _q_dbscan_hotspot,
@@ -923,5 +958,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
             FROM allfp a JOIN allfp b ON b.doc_id > a.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+        """,
+        # DE-9IM for a 10° square vs itself shifted +5°/+10°/+20° east:
+        # overlap / edge-touch / disjoint — closed-form matrices
+        "relate_grid_neighbors": """
+            SELECT CAST(pid AS BIGINT) AS polygon_id,
+                   CASE WHEN pid % 3 = 0 THEN '212111212'
+                        WHEN pid % 3 = 1 THEN 'FF2F11212'
+                        ELSE 'FF2FF1212' END AS matrix,
+                   (pid % 3 = 1) AS touches,
+                   (pid % 3 = 0) AS overlaps
+            FROM range(0, 648) t(pid) WHERE pid % 5 = 0
         """,
     }

@@ -219,3 +219,36 @@ def euclidean_meters(ax, ay, bx, by) -> Column:
     cols = [F.col(c) if isinstance(c, str) else c for c in (ax, ay, bx, by)]
     ax, ay, bx, by = cols
     return F.sqrt((ax - bx) * (ax - bx) + (ay - by) * (ay - by))
+
+
+def de9im_matches_col(matrix, pattern: str) -> Column:
+    """SQL-side DE-9IM pattern match over a 9-char matrix string column.
+
+    Pattern language of ``intersection_matrix.rs:799``: 'T' = any non-F,
+    '*' = anything, '0'/'1'/'2'/'F' exact. Pure Column expressions —
+    predicate filters over relate output stay in whole-stage codegen.
+    """
+    matrix = F.col(matrix) if isinstance(matrix, str) else matrix
+    if len(pattern) != 9:
+        raise ValueError("pattern must be 9 chars")
+    cond = F.lit(True)
+    for i, p in enumerate(pattern):
+        if p == "*":
+            continue
+        ch = F.substring(matrix, i + 1, 1)
+        cond = cond & ((ch != "F") if p == "T" else (ch == p))
+    return cond
+
+
+def de9im_touches_col(matrix) -> Column:
+    """touches: FT******* | F**T***** | F***T**** (intersection_matrix.rs)."""
+    return (
+        de9im_matches_col(matrix, "FT*******")
+        | de9im_matches_col(matrix, "F**T*****")
+        | de9im_matches_col(matrix, "F***T****")
+    )
+
+
+def de9im_overlaps_areas_col(matrix) -> Column:
+    """overlaps (area/area): T*T***T**."""
+    return de9im_matches_col(matrix, "T*T***T**")

@@ -36,6 +36,27 @@ def buffer_ring(coords: Column, r, quad_segs: int = 8) -> Column:
     return udf(coords, F.lit(r).cast("double"))
 
 
+def relate_polygons(ext_a: Column, ints_a: Column, ext_b: Column, ints_b: Column) -> Column:
+    """DE-9IM matrix string for two polygon columns (full RelateComputer
+    semantics — kernels.relate2.relate_polygon_pair; parity
+    ``relate/relate_operation.rs``, ``intersection_matrix.rs``)."""
+
+    @F.pandas_udf(T.StringType())
+    def udf(ea: pd.Series, ia: pd.Series, eb: pd.Series, ib: pd.Series) -> pd.Series:
+        from geo_spark.kernels.relate2 import relate_polygon_pair
+
+        out = []
+        for i in range(len(ea)):
+            ha = [] if ia.iloc[i] is None else [_to_np(h) for h in ia.iloc[i]]
+            hb = [] if ib.iloc[i] is None else [_to_np(h) for h in ib.iloc[i]]
+            out.append(
+                relate_polygon_pair(_to_np(ea.iloc[i]), ha, _to_np(eb.iloc[i]), hb)
+            )
+        return pd.Series(out)
+
+    return udf(ext_a, ints_a, ext_b, ints_b)
+
+
 def multipolygon_area(mp: Column) -> Column:
     """Unsigned area of a multipolygon column (shoelace; holes subtract).
 

@@ -102,3 +102,80 @@ def test_polygons_intersect():
         [(1.5, 1.5), (2.5, 1.5), (2.5, 2.5), (1.5, 2.5), (1.5, 1.5)], dtype=np.float64
     )
     assert not polygons_intersect(SQUARE, [HOLE], island, [])
+
+
+# --- full DE-9IM (kernels/relate2.py) ---------------------------------------
+
+
+def _poly(x0, y0, x1, y1):
+    import numpy as np
+
+    return ("Polygon", [np.array([(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)], float)])
+
+
+def _line(*pts):
+    import numpy as np
+
+    return ("LineString", np.array(pts, float))
+
+
+def test_relate_matrix_canonical_aa():
+    from geo_spark.kernels.relate2 import relate_matrix
+
+    assert relate_matrix(_poly(0, 0, 1, 1), _poly(5, 5, 6, 6)) == "FF2FF1212"
+    assert relate_matrix(_poly(0, 0, 1, 1), _poly(1, 0, 2, 1)) == "FF2F11212"
+    assert relate_matrix(_poly(0, 0, 2, 2), _poly(1, 1, 3, 3)) == "212101212"
+    assert relate_matrix(_poly(0, 0, 1, 1), _poly(0, 0, 1, 1)) == "2FFF1FFF2"
+    assert relate_matrix(_poly(0, 0, 4, 4), _poly(1, 1, 2, 2)) == "212FF1FF2"
+    # corner touch
+    assert relate_matrix(_poly(0, 0, 1, 1), _poly(1, 1, 2, 2)) == "FF2F01212"
+
+
+def test_relate_matrix_canonical_ll():
+    from geo_spark.kernels.relate2 import relate_matrix
+
+    assert relate_matrix(_line((0, 0), (2, 2)), _line((0, 2), (2, 0))) == "0F1FF0102"
+    assert relate_matrix(_line((0, 0), (3, 0)), _line((1, 0), (5, 0))) == "1010F0102"
+    assert relate_matrix(_line((0, 0), (1, 1)), _line((1, 1), (2, 0))) == "FF1F00102"
+    assert relate_matrix(_line((0, 0), (1, 1)), _line((0, 0), (1, 1))) == "1FFF0FFF2"
+    # closed ring has no boundary
+    ring = _line((0, 0), (1, 0), (1, 1), (0, 1), (0, 0))
+    assert relate_matrix(ring, _line((5, 5), (6, 6)))[3] == "F"
+
+
+def test_relate_matrix_canonical_la():
+    from geo_spark.kernels.relate2 import relate_matrix
+
+    assert relate_matrix(_line((-1, 0.5), (3, 0.5)), _poly(0, 0, 2, 1)) == "101FF0212"
+    assert relate_matrix(_line((0.2, 0.5), (0.8, 0.5)), _poly(0, 0, 1, 1)) == "1FF0FF212"
+    assert relate_matrix(_line((0, 0), (1, 0)), _poly(0, 0, 1, 1)) == "F1FF0F212"
+    # transpose consistency
+    m_ab = relate_matrix(_poly(0, 0, 2, 1), _line((-1, 0.5), (3, 0.5)))
+    assert m_ab == "".join("101FF0212"[3 * j + i] for i in range(3) for j in range(3))
+
+
+def test_relate_matrix_multipolygon_touch_point():
+    # JTS semantics: a point where two members of a multipolygon touch is
+    # Boundary for relate (not mod-2 Interior) — TestRelatePA 'mod-2 I' case
+    import numpy as np
+
+    from geo_spark.kernels.relate2 import relate_matrix
+
+    mp = (
+        "MultiPolygon",
+        [
+            [np.array([(0, 40), (0, 0), (40, 0), (40, 40), (0, 40)], float)],
+            [np.array([(40, 80), (40, 40), (80, 40), (80, 80), (40, 80)], float)],
+        ],
+    )
+    assert relate_matrix(("Point", np.array([40.0, 40.0])), mp) == "F0FFFF212"
+
+
+def test_relate_predicates_from_matrix():
+    from geo_spark.kernels.relate import is_contains, is_intersects, is_touches
+    from geo_spark.kernels.relate2 import relate_matrix
+
+    assert is_touches(relate_matrix(_poly(0, 0, 1, 1), _poly(1, 0, 2, 1)))
+    assert not is_touches(relate_matrix(_poly(0, 0, 2, 2), _poly(1, 1, 3, 3)))
+    assert is_contains(relate_matrix(_poly(0, 0, 4, 4), _poly(1, 1, 2, 2)))
+    assert is_intersects(relate_matrix(_line((0, 0), (2, 2)), _line((0, 2), (2, 0))))

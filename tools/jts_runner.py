@@ -34,7 +34,7 @@ from geo_spark.geometry.wkt import parse_wkt
 GENERAL = "/root/reference/jts-test-runner/resources/testxml/general"
 
 _SUPPORTED = {
-    "relate", "intersects", "contains", "within", "covers",
+    "relate", "intersects", "contains", "within", "covers", "coveredby",
     "convexhull", "getcentroid", "interiorpoint", "isvalid",
     "union", "intersection", "difference", "symdifference",
 }
@@ -274,26 +274,16 @@ def run_case(c) -> str:
     expected = c["expected"]
     try:
         if op == "relate":
-            if ga[0] != "Point" and (gb is None or gb[0] != "Point"):
+            if gb is None:
                 return "skip"
-            from geo_spark.kernels.relate import (
-                relate_point_linestring,
-                relate_point_point,
-                relate_point_polygon,
-            )
+            from geo_spark.kernels.relate import de9im_matches
+            from geo_spark.kernels.relate2 import relate_matrix
 
-            if ga[0] == "Point" and gb[0] == "Point":
-                m = relate_point_point(ga[1][0], ga[1][1], gb[1][0], gb[1][1])
-            elif ga[0] == "Point" and gb[0] == "Polygon":
-                m = relate_point_polygon(ga[1][0], ga[1][1], gb[1][0], gb[1][1:])
-            elif ga[0] == "Point" and gb[0] == "LineString":
-                m = relate_point_linestring(ga[1][0], ga[1][1], gb[1])
-            else:
-                return "skip"
+            m = relate_matrix(ga, gb)
             want_true = expected.lower() == "true"
-            return "pass" if (m == c["arg3"]) == want_true else "fail"
+            return "pass" if de9im_matches(m, c["arg3"]) == want_true else "fail"
 
-        if op in ("intersects", "contains", "within", "covers"):
+        if op in ("intersects", "contains", "within", "covers", "coveredby"):
             if gb is None:
                 return "skip"
             if op == "intersects":
@@ -302,10 +292,29 @@ def run_case(c) -> str:
                 got = _contains(ga, gb)
             elif op == "within":
                 got = _contains(gb, ga)
-            else:
+            elif op == "covers":
                 got = _covers(ga, gb)
+            else:
+                got = _covers(gb, ga)
             if got is None:
-                return "skip"
+                # general fallback: full DE-9IM matrix predicates
+                from geo_spark.kernels.relate import (
+                    is_contains,
+                    is_covers,
+                    is_intersects,
+                )
+                from geo_spark.kernels.relate2 import relate_matrix
+
+                if op == "intersects":
+                    got = is_intersects(relate_matrix(ga, gb))
+                elif op == "contains":
+                    got = is_contains(relate_matrix(ga, gb))
+                elif op == "within":
+                    got = is_contains(relate_matrix(gb, ga))
+                elif op == "covers":
+                    got = is_covers(relate_matrix(ga, gb))
+                else:
+                    got = is_covers(relate_matrix(gb, ga))
             return "pass" if got == (expected.lower() == "true") else "fail"
 
         if op == "convexhull":
