@@ -379,9 +379,69 @@ def _q_dbscan_hotspot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # md5_60 gram hashes → DuckDB recomputes the identical signature matrix
+    # (the uint64-wrapping permutation arithmetic is mirrored in HUGEINT),
+    # so the full LSH pipeline is value-hash gated
     from geo_spark.operators.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5, hasher="md5_60")
+
+
+def _minhash_oracle_sql() -> str:
+    """DuckDB twin of minhash_lsh_pairs(threshold=0.5, hasher='md5_60').
+
+    Rebuilds the signature matrix from scratch: 3-gram md5_60 hashes, the 64
+    fixed (A,B) permutation constants (numpy RandomState(42), embedded as
+    literals), and numpy's wrap-mod-2^64 arithmetic emulated in HUGEINT.
+    A pair qualifies when some 4-row band matches exactly (band equality ⟺
+    Spark's band-hash equality modulo 2^-32 collisions) and est ≥ 0.5.
+    """
+    import numpy as np
+
+    m61 = (1 << 61) - 1
+    rng = np.random.RandomState(42)
+    A = rng.randint(1, m61, size=64, dtype=np.int64)
+    B = rng.randint(0, m61, size=64, dtype=np.int64)
+    two64 = "18446744073709551616"
+    perm_cols = ",\n                   ".join(
+        f"COALESCE(CAST(list_min(list_transform(h, x -> "
+        f"(((CAST({A[i]} AS HUGEINT) * x) % {two64} + {B[i]}) % {two64}) % {m61}"
+        f")) AS BIGINT), {B[i] % m61}) AS s{i}"
+        for i in range(64)
+    )
+    est = "(" + " + ".join(f"CAST(a.s{i} = b.s{i} AS INT)" for i in range(64)) + ") / 64.0"
+    band = " OR ".join(
+        "(" + " AND ".join(f"a.s{4 * bb + j} = b.s{4 * bb + j}" for j in range(4)) + ")"
+        for bb in range(16)
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+          FROM documents
+        ),
+        g AS (
+          SELECT doc_id,
+                 CASE WHEN len(t) >= 3 THEN list_transform(
+                          range(1, len(t) - 1),
+                          i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+                      WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+                      ELSE [] END AS grams
+          FROM toks
+        ),
+        gh AS (
+          SELECT doc_id, list_transform(grams,
+                   s -> CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT)) AS h
+          FROM g
+        ),
+        sig AS (
+          SELECT doc_id,
+                 {perm_cols}
+          FROM gh
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, {est} AS est_jaccard
+        FROM sig a JOIN sig b ON b.doc_id > a.doc_id
+        WHERE ({band}) AND {est} >= 0.5
+    """
 
 
 def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -516,6 +576,25 @@ def _q_relate_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_geodesic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Karney ellipsoidal geodesic (kernels/geodesic.py) — exact everywhere
+    # incl. the antipodal region where Vincenty diverges. Rows-only: DuckDB
+    # has no geodesic solver to oracle against; correctness is pinned by the
+    # reference-doctest goldens in tests/test_geodesic.py.
+    from geo_spark.operators.geodesic_ops import geodesic_bearing_deg, geodesic_meters
+
+    pts = _derived_points(spark, sf_dir)
+    return pts.select(
+        "doc_id",
+        F.round(geodesic_meters("lon", "lat", F.lit(-74.006), F.lit(40.7128)), 0).alias(
+            "geodesic_m"
+        ),
+        F.round(
+            geodesic_bearing_deg("lon", "lat", F.lit(-74.006), F.lit(40.7128)), 6
+        ).alias("geo_bearing"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_contains_grid10": _q_pip_grid,
@@ -546,12 +625,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_validation": _q_polygon_validation,
         "simhash_near_pairs": _q_simhash_pairs,
         "relate_grid_neighbors": _q_relate_grid,
+        "minhash_lsh_pairs": _q_minhash_pairs,
         # non-SQL-expressible (driver records rows-only checks; exact
         # semantics covered by pytest parity suites):
         "dbscan_hotspot": _q_dbscan_hotspot,
-        "minhash_lsh_pairs": _q_minhash_pairs,
         "lsh_cosine_topk": _q_lsh_cosine,
         "voronoi_hotspot": _q_voronoi_hotspot,
+        "geodesic_to_nyc": _q_geodesic,
     }
 
 
@@ -970,4 +1050,5 @@ def oracle_sql() -> dict[str, str]:
                    (pid % 3 = 0) AS overlaps
             FROM range(0, 648) t(pid) WHERE pid % 5 = 0
         """,
+        "minhash_lsh_pairs": _minhash_oracle_sql(),
     }

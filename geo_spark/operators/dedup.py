@@ -82,6 +82,7 @@ def minhash_signatures(
     text_col: str = "text",
     n_perm: int = _N_PERM_DEFAULT,
     ngram: int = 3,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """(id, signature array<long>) — vectorized MinHash over token n-grams.
 
@@ -113,7 +114,7 @@ def minhash_signatures(
         return pd.Series(out)
 
     return df.select(
-        id_col, sig_udf(gram_hashes_col(text_col, ngram)).alias("signature")
+        id_col, sig_udf(gram_hashes_col(text_col, ngram, hasher)).alias("signature")
     )
 
 
@@ -125,15 +126,18 @@ def minhash_lsh_pairs(
     bands: int = 16,
     ngram: int = 3,
     threshold: float = 0.7,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate candidate pairs (id_a < id_b, est_jaccard ≥ threshold).
 
     LSH banding: signature split into ``bands`` bands of n_perm/bands rows;
     docs sharing any band-hash become candidates (self-join on the bucket).
     est_jaccard = fraction of matching signature positions.
+    ``hasher='md5_60'`` makes the signatures DuckDB-reproducible for the
+    oracle gate; ``xxhash64`` is the fast default.
     """
     rows_per_band = n_perm // bands
-    sigs = minhash_signatures(df, id_col, text_col, n_perm, ngram)
+    sigs = minhash_signatures(df, id_col, text_col, n_perm, ngram, hasher)
     banded = sigs.select(
         id_col,
         "signature",
