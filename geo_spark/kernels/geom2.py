@@ -149,6 +149,9 @@ def validate_polygon(exterior: np.ndarray, interiors=()) -> list[str]:
     from geo_spark.kernels.simplify import remove_repeated_points
 
     problems: list[str] = []
+    ext_arr = np.asarray(exterior, dtype=np.float64)
+    if len(ext_arr) == 0 and all(len(np.asarray(h)) == 0 for h in interiors):
+        return problems  # POLYGON EMPTY is valid
     # repeated consecutive points are tolerated (JTS isValid semantics);
     # validity is judged on the deduplicated rings
     rings = [remove_repeated_points(np.asarray(exterior, dtype=np.float64))] + [
@@ -198,6 +201,126 @@ def validate_polygon(exterior: np.ndarray, interiors=()) -> list[str]:
             elif (pos2 == 1).any():
                 problems.append(
                     f"interior[{hj}]: overlaps interior[{hi}]"
+                )
+            else:
+                # reverse direction: the earlier hole inside the later one
+                # (vertex tests are one-sided — a shared vertex defeats the
+                # forward check when the containment goes the other way)
+                pos3 = ring_position(hole[:-1, 0], hole[:-1, 1], other)
+                if (pos3 == 1).all():
+                    problems.append(
+                        f"interior[{hi}]: nested inside interior[{hj}]"
+                    )
+                elif (pos3 == 1).any():
+                    problems.append(
+                        f"interior[{hi}]: overlaps interior[{hj}]"
+                    )
+    if problems:
+        return problems
+    problems.extend(_ring_touch_problems(rings))
+    return problems
+
+
+def _ring_pair_events(ra: np.ndarray, rb: np.ndarray):
+    """(touch point set, shares_segment, proper_cross) between two rings."""
+    from geo_spark.kernels.lines import line_intersection
+
+    pts: set = set()
+    shares = False
+    proper = False
+    sa, ea = ra[:-1], ra[1:]
+    sb, eb = rb[:-1], rb[1:]
+    for i in range(len(sa)):
+        for j in range(len(sb)):
+            r = line_intersection(sa[i], ea[i], sb[j], eb[j])
+            if r is None:
+                continue
+            if r[0] == "collinear":
+                shares = True
+            else:
+                pts.add(r[1])
+                if r[2]:
+                    proper = True
+    return pts, shares, proper
+
+
+def _ring_touch_problems(rings) -> list[str]:
+    """JTS interior-connectivity rules over the ring-touch multigraph.
+
+    OGC/JTS validity (JTS IsValidOp, mirrored by the reference's validation
+    module): rings may intersect only at a finite set of points (no shared
+    segments, no proper crossings), and those touch points must not
+    disconnect the interior. Disconnection ⟺ the multigraph whose nodes are
+    rings and whose edges are the distinct touch points contains a cycle
+    (two touches between the same pair of rings already form one): a hole
+    touching the shell twice splits the polygon, a chain of holes touching
+    in a loop encloses an island.
+    """
+    problems: list[str] = []
+    tags = ["exterior"] + [f"interior[{i}]" for i in range(len(rings) - 1)]
+    parent = list(range(len(rings)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(len(rings)):
+        for j in range(i + 1, len(rings)):
+            pts, shares, proper = _ring_pair_events(rings[i], rings[j])
+            if shares:
+                problems.append(f"{tags[j]}: shares a boundary segment with {tags[i]}")
+                continue
+            if proper:
+                problems.append(f"{tags[j]}: crosses {tags[i]}")
+                continue
+            for _ in sorted(pts):
+                ri, rj = find(i), find(j)
+                if ri == rj:
+                    problems.append(
+                        f"{tags[j]}: touch with {tags[i]} disconnects the interior"
+                    )
+                    break
+                parent[max(ri, rj)] = min(ri, rj)
+    return problems
+
+
+def validate_multipolygon(polys) -> list[str]:
+    """Validity problems of a multipolygon: each component valid, and
+    component interiors disjoint with boundaries meeting only at a finite
+    point set (JTS multipolygon rules — adjacent/nested/duplicate shells are
+    invalid). Empty components are ignored (they are valid)."""
+    problems: list[str] = []
+    live = []
+    for idx, (ext, holes) in enumerate(polys):
+        ext = np.asarray(ext, dtype=np.float64)
+        if len(ext) == 0:
+            continue
+        live.append(idx)
+        problems.extend(
+            f"component[{idx}]: {p}" for p in validate_polygon(ext, holes)
+        )
+    if problems:
+        return problems
+    from geo_spark.kernels.relate2 import _relate_aa
+
+    def as_pair(idx):
+        ext, holes = polys[idx]
+        return (
+            np.asarray(ext, dtype=np.float64),
+            [np.asarray(h, dtype=np.float64) for h in holes],
+        )
+
+    for a in range(len(live)):
+        for b in range(a + 1, len(live)):
+            i, j = live[a], live[b]
+            m = _relate_aa([as_pair(i)], [as_pair(j)])
+            if m[0] != "F":
+                problems.append(f"component[{j}]: overlaps component[{i}]")
+            elif m[4] == "1":
+                problems.append(
+                    f"component[{j}]: shares a boundary segment with component[{i}]"
                 )
     return problems
 

@@ -31,12 +31,10 @@ def test_jts_general_corpus():
         f for f in os.listdir(GENERAL) if f.endswith(".xml") and "Prec" not in f
     }
     results, failures = run_corpus(files)
-    # 584 as of round 2: +113 over round 1 from the full DE-9IM relate
-    # (TestRelate{AA,LA,LL,PA,PL,PP} all pass) and matrix-based
-    # contains/within/covers/coveredby fallbacks for line operands
-    assert results["pass"] >= 584, (results, failures[:10])
-    # every failure must be a known validity-semantics gap
-    assert all(op == "isvalid" for (_, _, op) in failures), [
-        f for f in failures if f[2] != "isvalid"
-    ]
-    assert results["fail"] <= 22, failures
+    # round 2: 471 → 605 and zero failures. +113 from the full DE-9IM relate
+    # (TestRelate{AA,LA,LL,PA,PL,PP} all pass) + matrix-based contains/
+    # within/covers/coveredby fallbacks for line operands; +21 from the
+    # interior-connectivity validity rules (ring-touch multigraph cycles,
+    # shared-segment/crossing ring pairs, multipolygon component rules).
+    assert results["pass"] >= 605, (results, failures[:10])
+    assert results["fail"] == 0, failures

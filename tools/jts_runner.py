@@ -89,12 +89,12 @@ def load_cases(path: str):
 
 
 def _as_polygons(g):
-    """[(exterior, holes)] or None."""
+    """[(exterior, holes)] or None. Empty members are dropped (valid no-ops)."""
     kind, data = g
     if kind == "Polygon":
-        return [(data[0], data[1:])]
+        return [(data[0], data[1:])] if len(data) else []
     if kind == "MultiPolygon":
-        return [(p[0], p[1:]) for p in data]
+        return [(p[0], p[1:]) for p in data if len(p)]
     return None
 
 
@@ -364,12 +364,9 @@ def run_case(c) -> str:
             polys = _as_polygons(ga)
             if polys is None:
                 return "skip"
-            from geo_spark.kernels.geom2 import validate_polygon
+            from geo_spark.kernels.geom2 import validate_multipolygon
 
-            problems = []
-            for ext, holes in polys:
-                problems.extend(validate_polygon(ext, holes))
-            got = not problems
+            got = not validate_multipolygon(polys)
             return "pass" if got == (expected.lower() == "true") else "fail"
 
         if op in ("union", "intersection", "difference", "symdifference"):
