@@ -485,37 +485,12 @@ def _q_buffered_admin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_polygon_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geo_spark.operators.geometry2 import validity_problems
-    from geo_spark.sources.documents import synth_admin_polygons
 
     # deterministic invalid variants make the validator oracle-checkable:
     # pid%13==5 → bowtie exterior (zero-area + self-intersection = 2 problems);
     # pid%13==7 → ring truncated to 3 points (too few points = 1);
     # else pid%34==0 → hole translated outside the shell (= 1); else 0.
-    polys = synth_admin_polygons(spark, grid_deg=10.0, with_holes=True)
-    pid = F.col("polygon_id")
-    ext = F.col("exterior")
-    bowtie = F.array(
-        F.element_at(ext, 1),
-        F.element_at(ext, 3),
-        F.element_at(ext, 2),
-        F.element_at(ext, 4),
-        F.element_at(ext, 5),
-    )
-    mut_ext = (
-        F.when(pid % 13 == 5, bowtie)
-        .when(pid % 13 == 7, F.slice(ext, 1, 3))
-        .otherwise(ext)
-    )
-    shifted = F.transform(
-        F.col("interiors"),
-        lambda ring: F.transform(
-            ring, lambda p: F.struct((p["x"] + 30.0).alias("x"), p["y"].alias("y"))
-        ),
-    )
-    mut_holes = F.when(
-        (pid % 13 != 5) & (pid % 13 != 7) & (pid % 34 == 0), shifted
-    ).otherwise(F.col("interiors"))
-    polys = polys.withColumn("m_ext", mut_ext).withColumn("m_holes", mut_holes)
+    polys = _mutated_grid(spark)
     return polys.select(
         "polygon_id",
         F.size(validity_problems(F.col("m_ext"), F.col("m_holes"))).alias(
@@ -540,6 +515,57 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = simhash_near_pairs(_docs(spark, sf_dir), max_hamming=6)
     return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+def _mutated_grid(spark: SparkSession) -> DataFrame:
+    """Grid polygons with the deterministic invalid variants (shared with
+    polygon_validation and make_valid_grid): pid%13==5 bowtie exterior,
+    pid%13==7 truncated ring, else pid%34==0 hole shifted outside."""
+    from geo_spark.sources.documents import synth_admin_polygons
+
+    polys = synth_admin_polygons(spark, grid_deg=10.0, with_holes=True)
+    pid = F.col("polygon_id")
+    ext = F.col("exterior")
+    bowtie = F.array(
+        F.element_at(ext, 1),
+        F.element_at(ext, 3),
+        F.element_at(ext, 2),
+        F.element_at(ext, 4),
+        F.element_at(ext, 5),
+    )
+    mut_ext = (
+        F.when(pid % 13 == 5, bowtie)
+        .when(pid % 13 == 7, F.slice(ext, 1, 3))
+        .otherwise(ext)
+    )
+    shifted = F.transform(
+        F.col("interiors"),
+        lambda ring: F.transform(
+            ring, lambda p: F.struct((p["x"] + 30.0).alias("x"), p["y"].alias("y"))
+        ),
+    )
+    mut_holes = F.when(
+        (pid % 13 != 5) & (pid % 13 != 7) & (pid % 34 == 0), shifted
+    ).otherwise(F.col("interiors"))
+    return polys.withColumn("m_ext", mut_ext).withColumn("m_holes", mut_holes)
+
+
+def _q_make_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # prepair odd-even repair of the deterministic invalid grid variants:
+    # bowtie → two triangles (area 50), truncated ring → closed triangle
+    # (50), hole-outside-shell → shell + island (104), holed cell → 96,
+    # plain cell → 100 — all closed-form for the oracle
+    from geo_spark.operators.geometry2 import make_valid_col, multipolygon_area
+
+    df = _mutated_grid(spark)
+    repaired = make_valid_col(F.col("m_ext"), F.col("m_holes"))
+    return df.select(
+        "polygon_id", repaired.alias("fixed")
+    ).select(
+        "polygon_id",
+        F.size("fixed").alias("n_pieces"),
+        F.round(multipolygon_area(F.col("fixed")), 6).alias("area_r"),
+    )
 
 
 def _q_relate_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -623,6 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": _q_fingerprints,
         "buffered_admin": _q_buffered_admin,
         "polygon_validation": _q_polygon_validation,
+        "make_valid_grid": _q_make_valid,
         "simhash_near_pairs": _q_simhash_pairs,
         "relate_grid_neighbors": _q_relate_grid,
         "minhash_lsh_pairs": _q_minhash_pairs,
@@ -1000,6 +1027,28 @@ def oracle_sql() -> dict[str, str]:
                              WHEN pid % 13 = 7 THEN 1
                              WHEN pid % 34 = 0 THEN 1
                              ELSE 0 END AS INT) AS n_problems
+            FROM range(0, 648) t(pid)
+        """,
+        # prepair repair of the mutated grid — closed-form piece counts and
+        # areas. Odd-even subtleties when a mutated cell also carries its
+        # hole: the hole bites 2 deg² out of the bowtie wedges / truncated
+        # triangle but its remnant outside them flips to interior as 2 deg²
+        # of islands, so the area stays 50 while the piece count rises
+        # (bowtie: 2 wedges + 2 islands; triangle: 1 + 1 island).
+        "make_valid_grid": """
+            SELECT CAST(pid AS BIGINT) AS polygon_id,
+                   CAST(CASE WHEN pid % 13 = 5 AND pid % 17 = 0 THEN 4
+                             WHEN pid % 13 = 5 THEN 2
+                             WHEN pid % 13 = 7 AND pid % 17 = 0 THEN 2
+                             WHEN pid % 13 = 7 THEN 1
+                             WHEN pid % 34 = 0 THEN 2
+                             ELSE 1 END AS INT) AS n_pieces,
+                   ROUND(CASE
+                     WHEN pid % 13 = 5 THEN 50.0
+                     WHEN pid % 13 = 7 THEN 50.0
+                     WHEN pid % 34 = 0 THEN 104.0
+                     WHEN pid % 17 = 0 THEN 96.0
+                     ELSE 100.0 END, 6) AS area_r
             FROM range(0, 648) t(pid)
         """,
         # simhash re-derived from scratch: md5_60 token hashes → per-bit

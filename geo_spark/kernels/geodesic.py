@@ -352,3 +352,25 @@ def geodesic_area_unsigned(lons, lats) -> float:
 
 def geodesic_perimeter(lons, lats) -> float:
     return WGS84.polygon_area_perimeter(lons, lats)[1]
+
+
+def geodesic_point_at_distance(lat1, lon1, lat2, lon2, meters_from_start):
+    """Point ``meters_from_start`` along the geodesic p1→p2 (lon, lat).
+
+    Parity: ``Geodesic.point_at_distance_between`` (geodesic.rs) — the
+    bearing of the inverse solution followed by the direct problem.
+    """
+    if meters_from_start == 0.0:
+        return (lon1, lat1)
+    _, azi1, _ = WGS84.inverse(lat1, lon1, lat2, lon2)
+    plat, plon, _ = WGS84.direct(lat1, lon1, azi1, meters_from_start)
+    return (plon, plat)
+
+
+def geodesic_point_at_ratio(lat1, lon1, lat2, lon2, ratio):
+    """Point at ``ratio`` of the geodesic length from p1 (lon, lat)."""
+    s12, azi1, _ = WGS84.inverse(lat1, lon1, lat2, lon2)
+    if ratio == 0.0 or s12 == 0.0:
+        return (lon1, lat1)
+    plat, plon, _ = WGS84.direct(lat1, lon1, azi1, ratio * s12)
+    return (plon, plat)

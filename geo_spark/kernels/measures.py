@@ -243,3 +243,67 @@ def cross_track_distance(pl_lon, pl_lat, a_lon, a_lat, b_lon, b_lat, radius: flo
     theta13 = np.radians(haversine_bearing(a_lon, a_lat, pl_lon, pl_lat))
     theta12 = np.radians(haversine_bearing(a_lon, a_lat, b_lon, b_lat))
     return np.abs(np.arcsin(np.sin(d13) * np.sin(theta13 - theta12))) * radius
+
+
+# --- spherical (great-circle) closest point ---------------------------------
+
+
+def _unit_vec(lon_deg: float, lat_deg: float) -> np.ndarray:
+    lam, phi = np.radians(lon_deg), np.radians(lat_deg)
+    return np.array(
+        [np.cos(phi) * np.cos(lam), np.cos(phi) * np.sin(lam), np.sin(phi)]
+    )
+
+
+def _vec_lonlat(v: np.ndarray) -> tuple[float, float]:
+    return float(np.degrees(np.arctan2(v[1], v[0]))), float(
+        np.degrees(np.arctan2(v[2], np.hypot(v[0], v[1])))
+    )
+
+
+def haversine_closest_point_segment(plon, plat, alon, alat, blon, blat):
+    """Closest point (lon, lat) on the great-circle segment A→B to P.
+
+    Parity: ``HaversineClosestPoint`` (``haversine_closest_point.rs:37-``) —
+    true spherical geometry via 3-D unit vectors (project P onto the great
+    circle through A,B; clamp to the arc), replacing the planar projection
+    that drifts on long segments at high latitude.
+    """
+    A = _unit_vec(alon, alat)
+    B = _unit_vec(blon, blat)
+    P = _unit_vec(plon, plat)
+    n = np.cross(A, B)
+    nn = np.linalg.norm(n)
+    if nn < 1e-15:  # degenerate segment (A == B or antipodal)
+        return (alon, alat)
+    n /= nn
+    Pp = P - np.dot(P, n) * n
+    norm = np.linalg.norm(Pp)
+    if norm < 1e-15:  # P at the circle's pole: every circle point equidistant
+        return (alon, alat)
+    Pp /= norm
+    # on-arc test: the projection is between A and B iff both partial arcs
+    # are no longer than the full arc
+    ang_ab = np.arctan2(nn, np.dot(A, B))
+    ang_ap = np.arctan2(np.linalg.norm(np.cross(A, Pp)), np.dot(A, Pp))
+    ang_pb = np.arctan2(np.linalg.norm(np.cross(Pp, B)), np.dot(Pp, B))
+    if ang_ap <= ang_ab and ang_pb <= ang_ab:
+        return _vec_lonlat(Pp)
+    da = haversine_distance(plon, plat, alon, alat)
+    db = haversine_distance(plon, plat, blon, blat)
+    return (alon, alat) if da <= db else (blon, blat)
+
+
+def haversine_closest_point_linestring(plon, plat, coords) -> tuple[float, float]:
+    """Closest point on a linestring under great-circle distance."""
+    coords = np.asarray(coords, dtype=np.float64)
+    best = None
+    best_d = np.inf
+    for k in range(len(coords) - 1):
+        c = haversine_closest_point_segment(
+            plon, plat, coords[k, 0], coords[k, 1], coords[k + 1, 0], coords[k + 1, 1]
+        )
+        d = haversine_distance(plon, plat, c[0], c[1])
+        if d < best_d:
+            best, best_d = c, d
+    return best if best is not None else (float(coords[0, 0]), float(coords[0, 1]))

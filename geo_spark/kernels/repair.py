@@ -1,0 +1,189 @@
+"""MakeValid — polygon repair with odd-even (prepair) semantics.
+
+Parity target: the reference's ``MakeValid``
+(``geo/src/algorithm/repair_polygon/mod.rs``), which implements Ledoux /
+Arroyo Ohori / Meijers 2014 ("prepair"): triangulate the noded edges,
+odd-even flood-fill the faces, reconstruct boundaries.
+
+This implementation produces the same fill-rule result without building a
+constrained Delaunay triangulation: in the noded arrangement, a face's
+odd-even label flips exactly when crossing an edge of odd multiplicity, so
+
+1. node every ring edge at every intersection (the overlay's exact
+   ``_split_all`` — robust orientation gates + collinear overlaps);
+2. cancel sub-edges of even multiplicity (shared shell/hole edges, dangling
+   protrusions — identical to the paper's even-count cancellation);
+3. orient each surviving sub-edge with the odd-parity side on its left
+   (parity = ray-crossing count against the surviving edges, which equals
+   the flood-fill label);
+4. trace faces with the overlay's max-CCW-turn assembler — pinch vertices
+   (banana polygons) split naturally because the trace takes the sharpest
+   left turn.
+
+Output is always a valid multipolygon list [(exterior, holes)], possibly
+empty (e.g. hole identical to shell cancels everything).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import numpy as np
+
+from geo_spark.kernels.boolops import _assemble, _split_all
+
+
+def _undirected(e):
+    a, b = e
+    return (a, b) if a <= b else (b, a)
+
+
+def _ray_parity(mid, direction, edges, skip) -> int | None:
+    """Crossing count of ray mid + t·direction (t>0) vs edges; None if the
+    ray passes (numerically) through a segment endpoint — caller retries
+    with a rotated direction."""
+    mx, my = mid
+    dx, dy = direction
+    crossings = 0
+    for e in edges:
+        if e is skip:
+            continue
+        (px, py), (qx, qy) = e
+        ex, ey = qx - px, qy - py
+        denom = dx * ey - dy * ex
+        if denom == 0.0:
+            # parallel: endpoint-on-ray would be caught by neighbors' checks
+            continue
+        # solve mid + t·d = p + u·e
+        wx, wy = px - mx, py - my
+        t = (wx * ey - wy * ex) / denom
+        u = (wx * dy - wy * dx) / denom
+        if t <= 1e-12:
+            continue
+        if -1e-12 < u < 1e-12 or 1 - 1e-12 < u < 1 + 1e-12:
+            return None  # grazes an endpoint — ambiguous, retry
+        if 0.0 < u < 1.0:
+            crossings += 1
+    return crossings
+
+
+def _left_is_odd(edge, edges) -> bool:
+    (ax, ay), (bx, by) = edge
+    mx, my = (ax + bx) / 2.0, (ay + by) / 2.0
+    nx, ny = ay - by, bx - ax  # left normal of a→b
+    for rot in (0.0, 0.1, -0.17, 0.23, -0.31, 0.41, -0.47):
+        c, s = math.cos(rot), math.sin(rot)
+        d = (nx * c - ny * s, nx * s + ny * c)
+        res = _ray_parity((mx, my), d, edges, edge)
+        if res is not None:
+            return res % 2 == 1
+    # pathological grazing in every direction — treat as exterior-left
+    return False
+
+
+def make_valid_rings(rings) -> list:
+    """Repair the region bounded by ``rings`` (odd-even fill) into a valid
+    multipolygon [(exterior, holes)]."""
+    edges = []
+    for ring in rings:
+        ring = np.asarray(ring, dtype=np.float64)
+        if len(ring) < 2:
+            continue
+        if (ring[0] != ring[-1]).any():
+            ring = np.vstack([ring, ring[:1]])
+        for k in range(len(ring) - 1):
+            a = (float(ring[k, 0]), float(ring[k, 1]))
+            b = (float(ring[k + 1, 0]), float(ring[k + 1, 1]))
+            if a != b:
+                edges.append((a, b))
+    if not edges:
+        return []
+    sub, _ = _split_all(edges, edges)
+    counts = Counter(_undirected(e) for e in sub)
+    survivors = [key for key, c in counts.items() if c % 2 == 1]
+    if not survivors:
+        return []
+    selected = []
+    for key in survivors:
+        if _left_is_odd(key, survivors):
+            selected.append(key)
+        else:
+            selected.append((key[1], key[0]))
+    results = _assemble(selected)
+    return _split_pinched(results)
+
+
+def _split_pinch_ring(ring: np.ndarray) -> list[np.ndarray]:
+    """Split a closed ring that revisits vertices (pinch points) into simple
+    closed rings — each extracted loop keeps its winding, so a figure-8
+    boundary walk separates back into the exterior and its touching hole."""
+    verts = [tuple(v) for v in np.asarray(ring, dtype=np.float64)[:-1]]
+    out = []
+    path: list = []
+    seen: dict = {}
+    for v in verts:
+        if v in seen:
+            i = seen[v]
+            loop = path[i:] + [v]
+            for w in path[i:]:
+                seen.pop(w, None)
+            path = path[:i]
+            if len(loop) >= 4:
+                out.append(np.asarray(loop, dtype=np.float64))
+        seen[v] = len(path)
+        path.append(v)
+    if len(path) >= 3:
+        out.append(np.asarray(path + [path[0]], dtype=np.float64))
+    return out
+
+
+def _split_pinched(results) -> list:
+    """Re-split any pinched rings in an assembled multipolygon and
+    re-classify (positive area → exterior, negative → hole, containment
+    attachment) — mirrors the reference's pinch-point splitting phase."""
+    from geo_spark.kernels.area import ring_signed_area
+    from geo_spark.kernels.predicates import polygon_position
+
+    rings = []
+    for ext, holes in results:
+        rings.append(np.asarray(ext, dtype=np.float64))
+        rings.extend(np.asarray(h, dtype=np.float64) for h in holes)
+    if all(len(np.unique(r[:-1], axis=0)) == len(r) - 1 for r in rings):
+        return results  # already simple
+    simple = []
+    for r in rings:
+        simple.extend(_split_pinch_ring(r))
+    exteriors, holes = [], []
+    for r in simple:
+        a = ring_signed_area(r)
+        if a > 0:
+            exteriors.append(r)
+        elif a < 0:
+            holes.append(r)
+    out = [(ext, []) for ext in exteriors]
+    for h in holes:
+        best, best_area = None, None
+        for idx, (ext, _) in enumerate(out):
+            if polygon_position(h[:-1, 0], h[:-1, 1], ext).min() >= 0:
+                a = abs(ring_signed_area(ext))
+                if best_area is None or a < best_area:
+                    best, best_area = idx, a
+        if best is not None:
+            out[best][1].append(h)
+    return out
+
+
+def make_valid(exterior, interiors=()) -> list:
+    """Repair one (possibly invalid) polygon → valid [(exterior, holes)]."""
+    return make_valid_rings([exterior, *interiors])
+
+
+def make_valid_multipolygon(polys) -> list:
+    """Repair a multipolygon (all components' rings share one odd-even
+    arrangement — overlapping shells cancel, per the prepair fill rule)."""
+    rings = []
+    for ext, holes in polys:
+        rings.append(ext)
+        rings.extend(holes)
+    return make_valid_rings(rings)

@@ -57,6 +57,26 @@ def relate_polygons(ext_a: Column, ints_a: Column, ext_b: Column, ints_b: Column
     return udf(ext_a, ints_a, ext_b, ints_b)
 
 
+def make_valid_col(exterior: Column, interiors: Column) -> Column:
+    """Repair a polygon column (odd-even prepair semantics) → multipolygon.
+
+    Parity: ``MakeValid`` (``repair_polygon/mod.rs``) via
+    kernels.repair.make_valid — always emits a valid multipolygon."""
+
+    @F.pandas_udf(MULTIPOLY_TYPE)
+    def udf(ext: pd.Series, hol: pd.Series) -> pd.Series:
+        from geo_spark.kernels.repair import make_valid
+
+        out = []
+        for i in range(len(ext)):
+            hs = hol.iloc[i]
+            holes = [] if hs is None else [_to_np(h) for h in hs]
+            out.append(_result_to_rows(make_valid(_to_np(ext.iloc[i]), holes)))
+        return pd.Series(out)
+
+    return udf(exterior, interiors)
+
+
 def multipolygon_area(mp: Column) -> Column:
     """Unsigned area of a multipolygon column (shoelace; holes subtract).
 

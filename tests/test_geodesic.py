@@ -143,3 +143,22 @@ def test_geodesic_columns(spark):
     lat2, lon2, _ = geodesic_direct(42.698334, 23.319941, 45.0, 100000.0)
     assert got[0]["dest"]["lon"] == pytest.approx(lon2, abs=1e-12)
     assert got[0]["dest"]["lat"] == pytest.approx(lat2, abs=1e-12)
+
+
+def test_interpolate_point_goldens():
+    # geodesic.rs InterpolatePoint doctests (eps 1e-2)
+    from geo_spark.kernels.geodesic import (
+        geodesic_point_at_distance,
+        geodesic_point_at_ratio,
+    )
+
+    lon, lat = geodesic_point_at_distance(20, 10, 25, 125, 100_000.0)
+    assert (lon, lat) == pytest.approx((10.81, 20.49), abs=1e-2)
+    lon, lat = geodesic_point_at_distance(20, 10, 25, 125, 10_000_000.0)
+    assert (lon, lat) == pytest.approx((112.20, 30.67), abs=1e-2)
+    lon, lat = geodesic_point_at_ratio(20, 10, 25, 125, 0.5)
+    assert (lon, lat) == pytest.approx((65.88, 37.72), abs=1e-2)
+    lon, lat = geodesic_point_at_ratio(20, 10, 25, 125, 0.1)
+    assert (lon, lat) == pytest.approx((19.52, 25.31), abs=1e-2)
+    lon, lat = geodesic_point_at_ratio(20, 10, 25, 125, 0.9)
+    assert (lon, lat) == pytest.approx((114.73, 29.69), abs=1e-2)

@@ -91,3 +91,30 @@ def test_vectorized_batch():
     assert np.isfinite(v).all()
     # vincenty and haversine agree to ~0.5%
     assert np.allclose(v, d, rtol=7e-3)
+
+
+def test_haversine_closest_point_reference_golden():
+    # haversine_closest_point.rs doctest (eps 1e-6)
+    from geo_spark.kernels.measures import haversine_closest_point_segment
+
+    lon, lat = haversine_closest_point_segment(
+        -84.75625, 31.81056, -85.93942, 32.11055, -84.74905, 32.61454
+    )
+    assert abs(lon - -85.13337428852164) < 1e-6
+    assert abs(lat - 32.45365659858937) < 1e-6
+
+
+def test_haversine_closest_point_clamps_to_endpoints():
+    from geo_spark.kernels.measures import (
+        haversine_closest_point_linestring,
+        haversine_closest_point_segment,
+    )
+
+    # P beyond A along the arc → A
+    assert haversine_closest_point_segment(-10.0, 0.0, 0.0, 0.0, 10.0, 0.0) == (0.0, 0.0)
+    # high-latitude long segment: planar projection would drift; the true
+    # closest point to the pole-side P lies mid-arc (lat > endpoints)
+    lon, lat = haversine_closest_point_segment(45.0, 89.0, 0.0, 60.0, 90.0, 60.0)
+    assert lat > 65.0 and abs(lon - 45.0) < 1e-9
+    c = haversine_closest_point_linestring(45.0, 89.0, [(0, 60), (90, 60), (90, 0)])
+    assert c[1] > 65.0

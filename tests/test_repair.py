@@ -1,0 +1,82 @@
+"""MakeValid repair — the reference's prepair doctest cases
+(repair_polygon/mod.rs) plus the repaired-output-is-valid invariant.
+"""
+
+import numpy as np
+import pytest
+
+from geo_spark.kernels.boolops import overlay_area
+from geo_spark.kernels.geom2 import validate_multipolygon
+from geo_spark.kernels.repair import make_valid, make_valid_multipolygon
+
+
+def _ring(*pts):
+    return np.array(pts, dtype=np.float64)
+
+
+def test_bowtie_splits_into_two_triangles():
+    # repair_polygon/mod.rs doctest: boundary crosses at (5,5) → 2 components
+    r = make_valid(_ring((0, 0), (0, 10), (10, 0), (10, 10), (0, 0)))
+    assert len(r) == 2
+    assert overlay_area(r) == pytest.approx(50.0, abs=1e-12)
+    assert validate_multipolygon(r) == []
+
+
+def test_dangling_edge_cancels():
+    r = make_valid(_ring((0, 0), (10, 0), (15, 5), (10, 0), (10, 10), (0, 10), (0, 0)))
+    assert len(r) == 1
+    assert overlay_area(r) == pytest.approx(100.0, abs=1e-12)
+    assert validate_multipolygon(r) == []
+
+
+def test_hole_sharing_edge_with_shell():
+    r = make_valid(
+        _ring((0, 0), (10, 0), (10, 10), (0, 10), (0, 0)),
+        [_ring((5, 2), (5, 7), (10, 7), (10, 2), (5, 2))],
+    )
+    assert overlay_area(r) == pytest.approx(75.0, abs=1e-12)
+    assert validate_multipolygon(r) == []
+
+
+def test_hole_equal_to_shell_cancels_to_empty():
+    ring = _ring((10, 90), (90, 90), (90, 10), (10, 10), (10, 90))
+    assert make_valid(ring, [ring.copy()]) == []
+
+
+def test_nested_shells_become_annulus():
+    r = make_valid_multipolygon([
+        (_ring((30, 70), (70, 70), (70, 30), (30, 30), (30, 70)), []),
+        (_ring((10, 90), (90, 90), (90, 10), (10, 10), (10, 90)), []),
+    ])
+    assert overlay_area(r) == pytest.approx(4800.0, abs=1e-12)
+    assert len(r) == 1 and len(r[0][1]) == 1  # one shell, one hole
+    assert validate_multipolygon(r) == []
+
+
+def test_banana_pinch_split():
+    # hole touching the shell at one vertex: pinch-point split → valid
+    r = make_valid(
+        _ring((0, 0), (10, 0), (10, 10), (0, 10), (0, 0)),
+        [_ring((5, 0), (8, 3), (2, 3), (5, 0))],
+    )
+    assert overlay_area(r) == pytest.approx(91.0, abs=1e-12)
+    assert validate_multipolygon(r) == []
+
+
+def test_valid_input_is_unchanged():
+    r = make_valid(
+        _ring((0, 0), (4, 0), (4, 4), (0, 4), (0, 0)),
+        [_ring((1, 1), (1, 2), (2, 2), (2, 1), (1, 1))],
+    )
+    assert len(r) == 1 and len(r[0][1]) == 1
+    assert overlay_area(r) == pytest.approx(15.0, abs=1e-12)
+    assert validate_multipolygon(r) == []
+
+
+def test_repaired_outputs_always_validate():
+    rng = np.random.RandomState(77)
+    for _ in range(20):
+        pts = rng.uniform(0, 10, (6, 2))  # random hexagon, usually invalid
+        ring = np.vstack([pts, pts[:1]])
+        r = make_valid(ring)
+        assert validate_multipolygon(r) == [], ring.tolist()
