@@ -607,9 +607,11 @@ def _q_geodesic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # incl. the antipodal region where Vincenty diverges. Rows-only: DuckDB
     # has no geodesic solver to oracle against; correctness is pinned by the
     # reference-doctest goldens in tests/test_geodesic.py.
+    from geo_spark.operators.dedup import ensure_parallelism
     from geo_spark.operators.geodesic_ops import geodesic_bearing_deg, geodesic_meters
 
-    pts = _derived_points(spark, sf_dir)
+    # the inverse solver is CPU-bound per row: spread the single-file scan
+    pts = ensure_parallelism(_derived_points(spark, sf_dir))
     return pts.select(
         "doc_id",
         F.round(geodesic_meters("lon", "lat", F.lit(-74.006), F.lit(40.7128)), 0).alias(

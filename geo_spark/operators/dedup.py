@@ -40,6 +40,20 @@ _MERSENNE = (1 << 61) - 1
 _N_PERM_DEFAULT = 64
 
 
+def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Repartition narrow inputs so CPU-bound per-row stages use every core.
+
+    A small parquet table often scans as 1-2 partitions, serializing the
+    shingling/fingerprint stages onto one core; a real web-scale table has
+    thousands of partitions and this is a no-op (the partition count check
+    never shrinks or shuffles an already-parallel input)."""
+    spark = df.sparkSession
+    target = min_parts or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def gram_hashes_col(text_col, ngram: int, hasher: str = "xxhash64"):
     """array<long> of token-n-gram hashes — built entirely JVM-side.
 
@@ -113,7 +127,7 @@ def minhash_signatures(
             out.append(vals.min(axis=1).astype(np.int64))
         return pd.Series(out)
 
-    return df.select(
+    return ensure_parallelism(df).select(
         id_col, sig_udf(gram_hashes_col(text_col, ngram, hasher)).alias("signature")
     )
 
@@ -136,6 +150,8 @@ def minhash_lsh_pairs(
     ``hasher='md5_60'`` makes the signatures DuckDB-reproducible for the
     oracle gate; ``xxhash64`` is the fast default.
     """
+    from pyspark.storagelevel import StorageLevel
+
     rows_per_band = n_perm // bands
     sigs = minhash_signatures(df, id_col, text_col, n_perm, ngram, hasher)
     banded = sigs.select(
@@ -148,6 +164,9 @@ def minhash_lsh_pairs(
             ])
         ).alias("band_idx", "band_hash"),
     )
+    # both sides of the bucket self-join read this — persist so the
+    # shingle/signature pipeline runs once, not twice
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     left = banded.alias("a")
     right = banded.alias("b")
     pairs = (
@@ -206,7 +225,7 @@ def simhash_fingerprints(
             out[i] = fp
         return pd.Series(out)
 
-    return df.select(id_col, simhash_udf(hashes).alias("simhash"))
+    return ensure_parallelism(df).select(id_col, simhash_udf(hashes).alias("simhash"))
 
 
 def simhash_near_pairs(

@@ -42,6 +42,25 @@ from geo_spark.index.cells import cover_polygon, pick_cover_res
 _BC_CACHE: dict = {}
 
 
+def _driver_cover_rows(poly_rows, res: int):
+    """Cover rows from already-collected polygon rows — the small-side fast
+    path (admin-boundary scale): the geometry is on the driver anyway for
+    the broadcast refine, and a few hundred covers cost less than a Spark
+    job round-trip."""
+    rows = []
+    for r in poly_rows:
+        ext = np.asarray([(c["x"], c["y"]) for c in r["exterior"]], dtype=np.float64)
+        holes = [
+            np.asarray([(c["x"], c["y"]) for c in ring], dtype=np.float64)
+            for ring in (r["interiors"] or [])
+        ]
+        cells, full = cover_polygon(ext, holes, res=res)
+        bb = (float(r["xmin"]), float(r["ymin"]), float(r["xmax"]), float(r["ymax"]))
+        for c, f in zip(cells.tolist(), full.tolist()):
+            rows.append((int(c), int(r["polygon_id"]), bool(f)) + bb)
+    return rows
+
+
 def _distributed_cover_rows(polygons: DataFrame, res: int):
     """Compute polygon cell covers on the executors, collect only the compact
     (cell, polygon_id, full, xmin, ymin, xmax, ymax) rows.
@@ -128,16 +147,22 @@ def pip_join_points_polygons(
     (+ ``position`` when requested).
     """
     spark = points.sparkSession
+    # the polygon geometry must land on the driver regardless (broadcast
+    # refine is this operator's contract), so collect once, then choose the
+    # cover-build strategy by actual size: a driver loop below the threshold
+    # (a few hundred covers cost less than a Spark job round-trip), the
+    # mapInPandas distributed build above it (~1M admin polygons would
+    # serialize minutes of cover CPU on the driver)
+    driver_cover_threshold = 20_000
+    poly_rows = polygons.select(
+        "polygon_id", "exterior", "interiors", "xmin", "ymin", "xmax", "ymax"
+    ).collect()
     if res is None:
-        # cheap: bbox columns only, sampled — never collects geometry
-        res = choose_res(
-            polygons.select("xmin", "ymin", "xmax", "ymax").limit(2048).collect()
-        )
-
-    cover_rows = _distributed_cover_rows(polygons, res)
-    # geometry collect: inherent to the broadcast-refine design (the polygon
-    # side must fit in a broadcast); the cover CPU work above is distributed
-    poly_rows = polygons.select("polygon_id", "exterior", "interiors").collect()
+        res = choose_res(poly_rows)
+    if len(poly_rows) <= driver_cover_threshold:
+        cover_rows = _driver_cover_rows(poly_rows, res)
+    else:
+        cover_rows = _distributed_cover_rows(polygons, res)
     if refine == "sql":
         # Catalyst-native refine: partial cells carry the polygon geometry
         # through the broadcast; full cells carry NULL (no geometry needed).

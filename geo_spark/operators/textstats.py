@@ -128,7 +128,9 @@ def winnow_fingerprints(
                 out.append(np.unique(sl.min(axis=1)))
         return pd.Series(out)
 
-    return df.select(
+    from geo_spark.operators.dedup import ensure_parallelism
+
+    return ensure_parallelism(df).select(
         F.col(id_col), F.explode(win_min(gh)).alias("fp_hash")
     )
 
