@@ -623,6 +623,81 @@ def _q_geodesic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embed_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # embedding-cosine near-dedup: the corpus (no natural near-dups) is
+    # augmented with deterministic perturbed copies (v'_i = v_i + 0.05·v_rot)
+    # so the banded sign-sketch LSH has true positives to find. Planes are
+    # the sin-matrix both engines synthesize, so DuckDB reproduces the exact
+    # candidate set, not just the verified answer.
+    from geo_spark.operators.ann import cosine_near_pairs, sin_planes
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"),
+    )
+    vd = F.col("embedding")
+    planted = base.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: F.element_at(vd, i) + 0.05 * F.element_at(vd, (i % 64) + 1),
+        ).alias("embedding"),
+    )
+    allv = base.unionByName(planted)
+    out = cosine_near_pairs(allv, threshold=0.8, planes=sin_planes())
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cos_r"))
+
+
+def _embed_near_oracle_sql() -> str:
+    """DuckDB twin of _q_embed_near_pairs: same sin-planes sketch bands
+    (list_reduce left folds match Spark's aggregate fold ordering), same
+    bucket-equality candidate generation, same exact-cosine verify."""
+    band_cols = ",\n                 ".join(
+        "("
+        + " + ".join(
+            f"CASE WHEN d[{8 * t + k + 1}] >= 0 THEN {1 << k} ELSE 0 END"
+            for k in range(8)
+        )
+        + f") AS b{t}"
+        for t in range(8)
+    )
+    band_match = " OR ".join(f"a.b{t} = b.b{t}" for t in range(8))
+    dot = (
+        "list_reduce(list_transform(range(1, 65), i -> a.v[i] * b.v[i]),"
+        " (x, y) -> x + y)"
+    )
+    norm = "sqrt(list_reduce(list_transform(range(1, 65), i -> {s}.v[i] * {s}.v[i]), (x, y) -> x + y))"
+    cos = f"({dot}) / ({norm.format(s='a')} * {norm.format(s='b')})"
+    return f"""
+        WITH base AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        planted AS (
+          SELECT vec_id + 100000 AS vec_id,
+                 list_transform(range(1, 65), i -> v[i] + 0.05 * v[1 + (i % 64)]) AS v
+          FROM base WHERE vec_id % 50 = 0
+        ),
+        allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+        dots AS (
+          SELECT vec_id, v,
+                 list_transform(range(0, 64), p -> list_reduce(
+                   list_transform(range(1, 65),
+                     i -> SIN(CAST(p * 64 + i AS DOUBLE)) * v[i]),
+                   (x, y) -> x + y)) AS d
+          FROM allv
+        ),
+        sk AS (
+          SELECT vec_id, v,
+                 {band_cols}
+          FROM dots
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({cos}, 6) AS cos_r
+        FROM sk a JOIN sk b ON b.vec_id > a.vec_id AND ({band_match})
+        WHERE {cos} >= 0.8
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_contains_grid10": _q_pip_grid,
@@ -655,6 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": _q_simhash_pairs,
         "relate_grid_neighbors": _q_relate_grid,
         "minhash_lsh_pairs": _q_minhash_pairs,
+        "embed_near_pairs": _q_embed_near_pairs,
         # non-SQL-expressible (driver records rows-only checks; exact
         # semantics covered by pytest parity suites):
         "dbscan_hotspot": _q_dbscan_hotspot,
@@ -1102,4 +1178,5 @@ def oracle_sql() -> dict[str, str]:
             FROM range(0, 648) t(pid) WHERE pid % 5 = 0
         """,
         "minhash_lsh_pairs": _minhash_oracle_sql(),
+        "embed_near_pairs": _embed_near_oracle_sql(),
     }

@@ -123,3 +123,80 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .drop("_qvec", "_cvec")
     )
+
+
+def sin_planes(dim: int = 64, n_planes: int = 64) -> np.ndarray:
+    """Deterministic quasi-random hyperplanes H[p,i] = sin(p*dim + i + 1).
+
+    Both engines can synthesize these (numpy here, ``SIN()`` in the DuckDB
+    oracle), so sketch buckets — and therefore the exact candidate set of
+    the banded LSH — are reproducible outside Spark."""
+    k = np.arange(1, n_planes * dim + 1, dtype=np.float64).reshape(n_planes, dim)
+    return np.sin(k)
+
+
+def cosine_near_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    dim: int = 64,
+    n_planes: int = 64,
+    bands: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: np.ndarray | None = None,
+) -> DataFrame:
+    """Embedding near-duplicate pairs (id_a < id_b, cosine ≥ threshold).
+
+    Banded random-hyperplane LSH: ``n_planes`` sign bits split into
+    ``bands`` tables; vectors sharing any table's bucket become candidates
+    (self-join on the bucket id — the 100 TB shape: no all-pairs anywhere),
+    then the exact cosine (JVM higher-order SQL) filters. Recall for
+    cosine ≥ 0.9 with 8×8-bit tables is ≈ 99.9%+ at near-dup similarity.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from geo_spark.operators.dedup import ensure_parallelism
+
+    H = planes if planes is not None else _hyperplanes(dim, n_planes, seed=7)
+    b = n_planes // bands
+    weights = 1 << np.arange(b, dtype=np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def band_udf(vec: pd.Series) -> pd.Series:
+        M = np.asarray([np.asarray(v, dtype=np.float64) for v in vec])
+        signs = (M @ H.T) >= 0  # (n, n_planes)
+        vals = np.stack(
+            [(signs[:, t * b : (t + 1) * b] * weights).sum(axis=1) for t in range(bands)],
+            axis=1,
+        ).astype(np.int64)
+        return pd.Series(list(vals))
+
+    d = ensure_parallelism(df).select(F.col(id_col), F.col(vec_col).alias("_vec"))
+    banded = (
+        d.withColumn("_b", band_udf(F.col("_vec")))
+        .select(id_col, "_vec", F.posexplode("_b").alias("band_idx", "band_val"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a, c = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            c,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a._vec").alias("_va"),
+            F.col("b._vec").alias("_vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    denom = _norm(F.col("_va")) * _norm(F.col("_vb"))
+    cos = F.when(denom == 0, F.lit(0.0)).otherwise(_dot(F.col("_va"), F.col("_vb")) / denom)
+    return (
+        pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .drop("_va", "_vb")
+    )

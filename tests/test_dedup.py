@@ -87,3 +87,22 @@ def test_simhash_empty_and_short_docs(spark):
     assert got[0] == 0 and got[1] == 0
     assert got[2] == got[3] != 0
     assert got[2] < (1 << 60)  # md5_60: only 60 informative bits
+
+
+def test_cosine_near_pairs_planted_dups(spark):
+    from geo_spark.operators.ann import cosine_near_pairs, sin_planes
+
+    rng = np.random.RandomState(13)
+    base = rng.standard_normal((120, 64))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(120)]
+    # planted near-duplicates: small deterministic perturbation
+    for i in range(0, 120, 20):
+        v = base[i] + 0.05 * np.roll(base[i], 1)
+        rows.append((1000 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = cosine_near_pairs(df, threshold=0.8, planes=sin_planes())
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert pairs == {(i, 1000 + i) for i in range(0, 120, 20)}
+    # determinism under repartitioning
+    out2 = cosine_near_pairs(df.repartition(5), threshold=0.8, planes=sin_planes())
+    assert {(r["id_a"], r["id_b"]) for r in out2.collect()} == pairs
