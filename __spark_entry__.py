@@ -326,6 +326,26 @@ def _q_events_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # classic web-log sessionization: a new session starts after a >30 min
+    # gap; emits per-session aggregates — pure window SQL on both engines
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    gap = epoch - F.lag(epoch, 1).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn("_new", new_sess).withColumn(
+        "session_idx", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("first_event"),
+        F.sum(F.round(F.col("value") * 1000000, 0).cast("bigint")).alias("value_micros"),
+    )
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geo_spark.operators.dedup import ngram_jaccard_pairs
     from geo_spark.operators.textstats import token_stats
@@ -721,6 +741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rhumb_to_nyc": _q_rhumb,
         "destination_100km": _q_destination,
         "events_running_window": _q_events_running,
+        "events_sessionize": _q_sessionize,
         "ngram_jaccard_consecutive": _q_ngram_jaccard,
         "hull_by_lang": _q_hull_by_lang,
         "doc_fingerprints": _q_fingerprints,
@@ -1002,6 +1023,28 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY user_id ORDER BY ts, event_id), 0) AS BIGINT)
                      AS prev_micros
             FROM events
+        """,
+        "events_sessionize": """
+            WITH g AS (
+              SELECT user_id, event_id, value, ts,
+                     epoch(ts) - LAG(epoch(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS gap
+              FROM events
+            ),
+            s AS (
+              SELECT user_id, event_id, value,
+                     SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_idx
+              FROM g
+            )
+            SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                   COUNT(*) AS n_events,
+                   MIN(event_id) AS first_event,
+                   CAST(SUM(CAST(ROUND(value * 1000000, 0) AS BIGINT)) AS BIGINT)
+                     AS value_micros
+            FROM s GROUP BY 1, 2
         """,
         "ngram_jaccard_consecutive": f"""
             WITH toks AS (

@@ -1,15 +1,11 @@
 """JTS XML conformance corpus (the reference's own test resource).
 
 The reference runs this corpus through jts-test-runner with an explicit
-expected-failure list (``jts-test-runner/src/lib.rs:19-50``); we do the
-same. Precision-model files (``*Prec*``) are excluded — their expected
-outputs are snapped to an integer grid, which an exact-arithmetic overlay
-intentionally does not reproduce.
-
-Current gate (frozen): ≥ 470 passing cases, and every failure is an
-``isValid`` case exercising interior-connectivity / multipolygon shell
-rules the engine's validator does not implement (documented in
-COVERAGE.md: MakeValid 🟡).
+expected-failure list (``jts-test-runner/src/lib.rs:19-50``); this engine
+needs none: every supported case passes, including the fixed-precision
+(``*Prec*``) overlay files, whose snapped expected outputs are reproduced
+by snapping inputs and output to the precision grid with a prepair repair
+pass (tools/jts_runner._snap_polys).
 """
 
 import os
@@ -27,14 +23,14 @@ pytestmark = pytest.mark.skipif(
 
 
 def test_jts_general_corpus():
-    files = {
-        f for f in os.listdir(GENERAL) if f.endswith(".xml") and "Prec" not in f
-    }
-    results, failures = run_corpus(files)
-    # round 2: 471 → 605 and zero failures. +113 from the full DE-9IM relate
+    # the ENTIRE general corpus, fixed-precision (Prec) files included —
+    # round 2: 471 → 645 and zero failures. +113 from the full DE-9IM relate
     # (TestRelate{AA,LA,LL,PA,PL,PP} all pass) + matrix-based contains/
     # within/covers/coveredby fallbacks for line operands; +21 from the
     # interior-connectivity validity rules (ring-touch multigraph cycles,
-    # shared-segment/crossing ring pairs, multipolygon component rules).
-    assert results["pass"] >= 605, (results, failures[:10])
+    # shared-segment/crossing ring pairs, multipolygon component rules);
+    # +40 from snap-to-grid fixed-precision overlays (snap + prepair repair
+    # on both inputs and output).
+    results, failures = run_corpus()
+    assert results["pass"] >= 645, (results, failures[:10])
     assert results["fail"] == 0, failures

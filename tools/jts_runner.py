@@ -57,6 +57,10 @@ def load_cases(path: str):
     # the corpus XML is mostly well-formed; tolerate stray entities
     txt = txt.replace("&", "&amp;")
     root = ET.fromstring(txt)
+    pm = root.find("precisionModel")
+    scale = None
+    if pm is not None and pm.get("scale"):
+        scale = float(pm.get("scale"))
     cases = []
     for case in root.iter("case"):
         a = case.find("a")
@@ -80,9 +84,25 @@ def load_cases(path: str):
                     "arg2": op.get("arg2"),
                     "arg3": op.get("arg3"),
                     "expected": expected,
+                    "scale": scale,
                 }
             )
     return cases
+
+
+def _snap_polys(polys, scale: float):
+    """Snap multipolygon coordinates to the fixed-precision grid and repair:
+    rounding can collapse slivers and create self-touches, and prepair's
+    odd-even rule resolves both exactly the way a fixed-precision overlay
+    does (zero-area parts cancel)."""
+    from geo_spark.kernels.repair import make_valid_multipolygon
+
+    snapped = []
+    for ext, holes in polys:
+        ext = np.round(np.asarray(ext, dtype=np.float64) * scale) / scale
+        hs = [np.round(np.asarray(h, dtype=np.float64) * scale) / scale for h in holes]
+        snapped.append((ext, hs))
+    return make_valid_multipolygon(snapped)
 
 
 # --- geometry helpers over parsed WKT ------------------------------------------
@@ -379,8 +399,14 @@ def run_case(c) -> str:
                 return "skip"
             from geo_spark.kernels.boolops import multipolygon_boolean_op
 
+            grid = c.get("scale")
+            if grid:
+                pa = _snap_polys(pa, grid)
+                pb = _snap_polys(pb, grid)
             opname = "xor" if op == "symdifference" else op
             mine = multipolygon_boolean_op(pa, pb, opname)
+            if grid:
+                mine = _snap_polys(mine, grid)
             area_mine = _poly_area(mine)
             area_exp = _poly_area(pe)
             scale = max(area_exp, _poly_area(pa), 1.0)
