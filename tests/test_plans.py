@@ -71,3 +71,27 @@ def test_knn_primary_path_is_equi_join(spark, docs):
     cartesian = plan.find("CartesianProduct")
     assert first_join < 10**9
     assert cartesian == -1 or cartesian > first_join
+
+
+def test_lsh_pair_joins_are_equi_joins(spark):
+    # the dedup/near-dup tier must never degrade to a cartesian product —
+    # banded self-joins are plain equi-joins on the bucket key
+    import numpy as np
+
+    from geo_spark.operators.ann import cosine_near_pairs, sin_planes
+    from geo_spark.operators.dedup import minhash_lsh_pairs, simhash_near_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} " * 20) for i in range(50)], "doc_id long, text string"
+    )
+    vecs = spark.createDataFrame(
+        [(i, [float(np.sin(i * 64 + k)) for k in range(64)]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    for df in (
+        minhash_lsh_pairs(docs, threshold=0.5),
+        simhash_near_pairs(docs, max_hamming=6),
+        cosine_near_pairs(vecs, threshold=0.8, planes=sin_planes()),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, plan[:2000]
