@@ -24,13 +24,12 @@ pytestmark = pytest.mark.skipif(
 
 def test_jts_general_corpus():
     # the ENTIRE general corpus, fixed-precision (Prec) files included —
-    # round 2: 471 → 645 and zero failures. +113 from the full DE-9IM relate
-    # (TestRelate{AA,LA,LL,PA,PL,PP} all pass) + matrix-based contains/
-    # within/covers/coveredby fallbacks for line operands; +21 from the
-    # interior-connectivity validity rules (ring-touch multigraph cycles,
-    # shared-segment/crossing ring pairs, multipolygon component rules);
-    # +40 from snap-to-grid fixed-precision overlays (snap + prepair repair
-    # on both inputs and output).
+    # round 2: 471 → 735 and zero failures. +113 full DE-9IM relate
+    # (TestRelate{AA,LA,LL,PA,PL,PP} all pass) + matrix predicate fallbacks;
+    # +21 interior-connectivity validity rules; +40 snap-to-grid fixed-
+    # precision overlays; +90 geometry distance / isWithinDistance /
+    # equalsExact / equalsNorm / isSimple / getBoundary / densify /
+    # getInteriorPoint.
     results, failures = run_corpus()
-    assert results["pass"] >= 645, (results, failures[:10])
+    assert results["pass"] >= 735, (results, failures[:10])
     assert results["fail"] == 0, failures
