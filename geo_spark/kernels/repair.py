@@ -31,7 +31,46 @@ from collections import Counter
 
 import numpy as np
 
-from geo_spark.kernels.boolops import _assemble, _split_all
+from geo_spark.kernels.boolops import _assemble
+
+
+def _self_split(edges):
+    """Split every edge at its intersections with every other edge.
+
+    Each unordered pair is evaluated ONCE and the same intersection point is
+    added to both edges' cut sets — evaluating (i,j) and (j,i) separately
+    (as reusing the two-set overlay splitter would) can yield points an ulp
+    apart from the two parametric solves, silently disconnecting the noded
+    graph at that vertex."""
+    from geo_spark.kernels.lines import line_intersection
+
+    cuts = [set() for _ in edges]
+    for i in range(len(edges)):
+        a0, a1 = edges[i]
+        for j in range(i + 1, len(edges)):
+            b0, b1 = edges[j]
+            r = line_intersection(a0, a1, b0, b1)
+            if r is None:
+                continue
+            if r[0] == "point":
+                cuts[i].add(r[1])
+                cuts[j].add(r[1])
+            else:
+                p, q = r[1]
+                cuts[i].update((p, q))
+                cuts[j].update((p, q))
+    out = []
+    for (a, b), cs in zip(edges, cuts):
+        pts = [a, b] + [c for c in cs if c != a and c != b]
+        dx, dy = b[0] - a[0], b[1] - a[1]
+        if abs(dx) >= abs(dy):
+            pts.sort(key=lambda p: (p[0] - a[0]) / dx if dx else 0.0)
+        else:
+            pts.sort(key=lambda p: (p[1] - a[1]) / dy)
+        for k in range(len(pts) - 1):
+            if pts[k] != pts[k + 1]:
+                out.append((pts[k], pts[k + 1]))
+    return out
 
 
 def _undirected(e):
@@ -99,7 +138,12 @@ def make_valid_rings(rings) -> list:
                 edges.append((a, b))
     if not edges:
         return []
-    sub, _ = _split_all(edges, edges)
+    return _edges_to_valid(_self_split(edges))
+
+
+def _edges_to_valid(sub) -> list:
+    """Noded edge soup → valid multipolygon: cancel even-multiplicity edges,
+    orient survivors by odd-even parity, trace faces, split pinches."""
     counts = Counter(_undirected(e) for e in sub)
     survivors = [key for key, c in counts.items() if c % 2 == 1]
     if not survivors:
@@ -112,6 +156,101 @@ def make_valid_rings(rings) -> list:
             selected.append((key[1], key[0]))
     results = _assemble(selected)
     return _split_pinched(results)
+
+
+def _seg_hits_pixel(a, b, v, h: float) -> bool:
+    """Does segment a→b enter the HALF-OPEN pixel [v-h, v+h) × [v-h, v+h)?
+
+    Half-open on the top/right matches half-up coordinate snapping (a point
+    exactly on a pixel's top/right boundary belongs to the neighbor pixel),
+    so an endpoint always lies inside the pixel it snaps to, while edges
+    that merely graze a corner or run along the top/right boundary do not
+    bend — the consistency JTS hot pixels guarantee."""
+    t0, t1 = 0.0, 1.0
+    dx, dy = b[0] - a[0], b[1] - a[1]
+    for p, q in (
+        (-dx, a[0] - (v[0] - h)),
+        (dx, (v[0] + h) - a[0]),
+        (-dy, a[1] - (v[1] - h)),
+        (dy, (v[1] + h) - a[1]),
+    ):
+        if p == 0:
+            if q < 0:
+                return False
+        else:
+            r = q / p
+            if p < 0:
+                t0 = max(t0, r)
+            else:
+                t1 = min(t1, r)
+            if t0 > t1:
+                return False
+    # a representative point of the clipped interval must satisfy the
+    # half-open bounds (rejects contact limited to the top/right boundary)
+    tm = 0.5 * (t0 + t1)
+    x = a[0] + tm * dx
+    y = a[1] + tm * dy
+    return (v[0] - h <= x < v[0] + h) and (v[1] - h <= y < v[1] + h)
+
+
+def snap_round_rings(rings, scale: float, max_iter: int = 8) -> list:
+    """Fixed-precision (snap-rounding) repair of a ring soup → valid
+    multipolygon on the 1/scale grid.
+
+    Classic hot-pixel snap rounding (Hobby/JTS lineage) composed with the
+    odd-even repair: iterate { node edges at intersections → snap every
+    vertex to the grid → re-route each edge through the hot pixel of every
+    grid vertex it passes } until stable, then cancel/orient/assemble. The
+    re-routing is what vertex-only snapping misses: a long edge passing
+    within half a pixel of a snapped vertex must bend through it, which is
+    how nearly-coincident edge bundles collapse consistently.
+    """
+    h = 0.5 / scale
+
+    def snap(p):
+        # half-up (JTS PrecisionModel), not banker's rounding — must agree
+        # with the half-open pixel extent so snap(p) is p's containing pixel
+        return (
+            math.floor(p[0] * scale + 0.5) / scale,
+            math.floor(p[1] * scale + 0.5) / scale,
+        )
+
+    edges = []
+    for ring in rings:
+        ring = np.asarray(ring, dtype=np.float64)
+        if len(ring) < 2:
+            continue
+        if (ring[0] != ring[-1]).any():
+            ring = np.vstack([ring, ring[:1]])
+        for k in range(len(ring) - 1):
+            a = (float(ring[k, 0]), float(ring[k, 1]))
+            b = (float(ring[k + 1, 0]), float(ring[k + 1, 1]))
+            if a != b:
+                edges.append((a, b))
+    if not edges:
+        return []
+
+    # hot pixels: every ORIGINAL vertex and every exact intersection point,
+    # snapped to the grid (computed once — the JTS SnapRoundingNoder shape)
+    sub = _self_split(edges)
+    pixels = set()
+    for a, b in sub:
+        pixels.add(snap(a))
+        pixels.add(snap(b))
+    # route each noded sub-edge through the pixels it enters, in order
+    routed = []
+    for a, b in sub:
+        hits = [v for v in pixels if _seg_hits_pixel(a, b, v, h)]
+        dx, dy = b[0] - a[0], b[1] - a[1]
+        # order along the segment by projection onto its direction (a
+        # dominant-axis sort ties when two pixels share that coordinate)
+        hits.sort(key=lambda p: (p[0] - a[0]) * dx + (p[1] - a[1]) * dy)
+        for k in range(len(hits) - 1):
+            if hits[k] != hits[k + 1]:
+                routed.append((hits[k], hits[k + 1]))
+    if not routed:
+        return []
+    return _edges_to_valid(_self_split(routed))
 
 
 def _split_pinch_ring(ring: np.ndarray) -> list[np.ndarray]:

@@ -24,12 +24,13 @@ pytestmark = pytest.mark.skipif(
 
 def test_jts_general_corpus():
     # the ENTIRE general corpus, fixed-precision (Prec) files included —
-    # round 2: 471 → 735 and zero failures. +113 full DE-9IM relate
+    # round 2: 471 → 852 and zero failures. +113 full DE-9IM relate
     # (TestRelate{AA,LA,LL,PA,PL,PP} all pass) + matrix predicate fallbacks;
-    # +21 interior-connectivity validity rules; +40 snap-to-grid fixed-
-    # precision overlays; +90 geometry distance / isWithinDistance /
-    # equalsExact / equalsNorm / isSimple / getBoundary / densify /
-    # getInteriorPoint.
+    # +21 interior-connectivity validity rules; +90 geometry distance /
+    # isWithinDistance / equalsExact / equalsNorm / isSimple / getBoundary /
+    # densify / getInteriorPoint; +157 fixed-precision + OverlayNG +
+    # snap-rounding (SR) overlays via hot-pixel snap rounding
+    # (kernels.repair.snap_round_rings) composed with the odd-even repair.
     results, failures = run_corpus()
-    assert results["pass"] >= 735, (results, failures[:10])
+    assert results["pass"] >= 852, (results, failures[:10])
     assert results["fail"] == 0, failures

@@ -80,3 +80,24 @@ def test_repaired_outputs_always_validate():
         ring = np.vstack([pts, pts[:1]])
         r = make_valid(ring)
         assert validate_multipolygon(r) == [], ring.tolist()
+
+
+def test_snap_round_collapses_slivers():
+    from geo_spark.kernels.repair import snap_round_rings
+
+    # sliver triangle: (10 10, 100 10, 10 11) at scale 1 collapses to a line
+    r = snap_round_rings([_ring((10, 10), (100, 10), (10, 11), (10, 10))], 1.0)
+    # hot-pixel routing bends the long edge through the (10,11)-adjacent
+    # pixels; the remaining area is the thin stair — tiny, nearly collapsed
+    assert overlay_area(r) <= 45.5  # exact sliver area was 45; snapped ≤
+    # a hole collapsing onto itself produces shell + hole + nested island
+    shell = _ring((9, 0), (0, 0), (0, 8), (9, 8), (9, 0))
+    hole = _ring((2, 1), (3.1, 1), (4, 6), (7, 5), (7, 3), (3.4, 2.2), (4, 1),
+                 (8, 1), (8, 7), (2, 7), (2, 1))
+    r = snap_round_rings([shell, hole], 1.0)
+    assert overlay_area(r) == pytest.approx(47.0)
+    assert len(r) == 2  # shell-with-hole + island
+    assert validate_multipolygon(r) == []
+    # snapping an already-on-grid valid polygon is the identity (area-wise)
+    r = snap_round_rings([_ring((0, 0), (4, 0), (4, 4), (0, 4), (0, 0))], 1.0)
+    assert overlay_area(r) == pytest.approx(16.0)

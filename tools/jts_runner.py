@@ -39,6 +39,18 @@ _SUPPORTED = {
     "union", "intersection", "difference", "symdifference",
     "equalsexact", "equalsnorm", "issimple", "getboundary", "densify",
     "distance", "iswithindistance",
+    # OverlayNG (same exact-overlay semantics) and snap-rounding variants
+    "intersectionng", "unionng", "differenceng", "symdifferenceng",
+    "intersectionsr", "unionsr", "differencesr", "symdifferencesr",
+}
+
+_OVERLAY_BASE = {
+    "intersection": "intersection", "union": "union",
+    "difference": "difference", "symdifference": "symdifference",
+    "intersectionng": "intersection", "unionng": "union",
+    "differenceng": "difference", "symdifferenceng": "symdifference",
+    "intersectionsr": "intersection", "unionsr": "union",
+    "differencesr": "difference", "symdifferencesr": "symdifference",
 }
 
 
@@ -93,18 +105,15 @@ def load_cases(path: str):
 
 
 def _snap_polys(polys, scale: float):
-    """Snap multipolygon coordinates to the fixed-precision grid and repair:
-    rounding can collapse slivers and create self-touches, and prepair's
-    odd-even rule resolves both exactly the way a fixed-precision overlay
-    does (zero-area parts cancel)."""
-    from geo_spark.kernels.repair import make_valid_multipolygon
+    """Fixed-precision snap-rounding of a multipolygon (hot-pixel routing +
+    odd-even repair — kernels.repair.snap_round_rings)."""
+    from geo_spark.kernels.repair import snap_round_rings
 
-    snapped = []
+    rings = []
     for ext, holes in polys:
-        ext = np.round(np.asarray(ext, dtype=np.float64) * scale) / scale
-        hs = [np.round(np.asarray(h, dtype=np.float64) * scale) / scale for h in holes]
-        snapped.append((ext, hs))
-    return make_valid_multipolygon(snapped)
+        rings.append(ext)
+        rings.extend(holes)
+    return snap_round_rings(rings, scale)
 
 
 # --- geometry helpers over parsed WKT ------------------------------------------
@@ -550,7 +559,8 @@ def run_case(c) -> str:
             got = not validate_multipolygon(polys)
             return "pass" if got == (expected.lower() == "true") else "fail"
 
-        if op in ("union", "intersection", "difference", "symdifference"):
+        if op in _OVERLAY_BASE:
+            base = _OVERLAY_BASE[op]
             pa, pb = _as_polygons(ga), _as_polygons(gb) if gb else None
             exp = _clean_wkt(expected)
             if pa is None or pb is None or exp is None:
@@ -561,10 +571,12 @@ def run_case(c) -> str:
             from geo_spark.kernels.boolops import multipolygon_boolean_op
 
             grid = c.get("scale")
+            if op.endswith("sr") and c.get("arg3"):
+                grid = float(c["arg3"])  # snap-rounding ops carry their scale
             if grid:
                 pa = _snap_polys(pa, grid)
                 pb = _snap_polys(pb, grid)
-            opname = "xor" if op == "symdifference" else op
+            opname = "xor" if base == "symdifference" else base
             mine = multipolygon_boolean_op(pa, pb, opname)
             if grid:
                 mine = _snap_polys(mine, grid)
