@@ -181,3 +181,47 @@ def segment_set(g) -> set:
         if a != b:
             out.add((a, b) if a <= b else (b, a))
     return out
+
+
+def minimum_clearance(g):
+    """(clearance, (p, q) | None) — JTS MinimumClearance semantics: the
+    smallest of (a) distances between distinct vertices and (b) distances
+    from each vertex to each segment it is not an endpoint of; geometries
+    with no such pair (empty, single point) report Double.MAX_VALUE."""
+    MAXD = 1.7976931348623157e308
+    pts, lines, polys = components(g)
+    verts = [tuple(p) for p in pts]
+    segs = []
+    for coll in ([_segs_of_lines(lines)] if lines else []) + (
+        [_segs_of_polys(polys)] if polys else []
+    ):
+        for s in coll:
+            segs.append(((float(s[0]), float(s[1])), (float(s[2]), float(s[3]))))
+    for a, b in segs:
+        verts.append(a)
+        verts.append(b)
+    uniq = sorted(set(verts))
+    best = MAXD
+    pair = None
+    for i in range(len(uniq)):
+        for j in range(i + 1, len(uniq)):
+            d = float(np.hypot(uniq[i][0] - uniq[j][0], uniq[i][1] - uniq[j][1]))
+            if 0.0 < d < best:
+                best, pair = d, (uniq[i], uniq[j])
+    for v in uniq:
+        for a, b in segs:
+            if v == a or v == b:
+                continue
+            d = float(
+                point_segment_distance(v[0], v[1], a[0], a[1], b[0], b[1])
+            )
+            if 0.0 < d < best:
+                # realizing point: projection of v onto segment (clamped)
+                ax, ay = a
+                bx, by = b
+                dx, dy = bx - ax, by - ay
+                t = 0.0 if dx == dy == 0 else max(
+                    0.0, min(1.0, ((v[0] - ax) * dx + (v[1] - ay) * dy) / (dx * dx + dy * dy))
+                )
+                best, pair = d, (v, (ax + t * dx, ay + t * dy))
+    return best, pair

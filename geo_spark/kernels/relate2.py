@@ -164,6 +164,13 @@ def _node(lines, other_segs: np.ndarray):
     with on_overlap exact (from collinear-overlap results, not float point
     tests); nodes = intersection points (crossings + endpoint touches +
     overlap endpoints)."""
+    sub, nodes = node_pieces(lines, other_segs)
+    return [(0.5 * (np.asarray(a) + np.asarray(b)), on) for a, b, on in sub], nodes
+
+
+def node_pieces(lines, other_segs: np.ndarray):
+    """Like ``_node`` but returns the sub-segments themselves:
+    ([(a, b, on_overlap)], nodes)."""
     pieces, nodes = [], []
     has_other = other_segs is not None and len(other_segs) > 0
     if has_other:
@@ -211,9 +218,10 @@ def _node(lines, other_segs: np.ndarray):
                 if tb - ta <= 1e-12:
                     continue
                 tm = 0.5 * (ta + tb)
-                mid = (p0[0] + tm * (p1[0] - p0[0]), p0[1] + tm * (p1[1] - p0[1]))
                 on = any(o0 - 1e-12 <= tm <= o1 + 1e-12 for o0, o1 in ovs)
-                pieces.append((mid, on))
+                pa = (p0[0] + ta * (p1[0] - p0[0]), p0[1] + ta * (p1[1] - p0[1]))
+                pb = (p0[0] + tb * (p1[0] - p0[0]), p0[1] + tb * (p1[1] - p0[1]))
+                pieces.append((pa, pb, on))
     return pieces, nodes
 
 

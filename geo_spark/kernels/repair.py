@@ -193,9 +193,14 @@ def _seg_hits_pixel(a, b, v, h: float) -> bool:
     return (v[0] - h <= x < v[0] + h) and (v[1] - h <= y < v[1] + h)
 
 
-def snap_round_rings(rings, scale: float, max_iter: int = 8) -> list:
+def snap_round_rings(rings, scale: float, max_iter: int = 8, extra_edges=()) -> list:
     """Fixed-precision (snap-rounding) repair of a ring soup → valid
     multipolygon on the 1/scale grid.
+
+    ``extra_edges``: segments that participate in noding, hot-pixel
+    generation and routing but NOT in the odd-even parity (e.g. a cutting
+    line in a fixed-precision polygon-minus-line: it contributes vertices
+    that collapse slivers, but bounds no area).
 
     Classic hot-pixel snap rounding (Hobby/JTS lineage) composed with the
     odd-even repair: iterate { node edges at intersections → snap every
@@ -230,13 +235,22 @@ def snap_round_rings(rings, scale: float, max_iter: int = 8) -> list:
     if not edges:
         return []
 
+    n_ring_edges = len(edges)
+    for a, b in extra_edges:
+        a = (float(a[0]), float(a[1]))
+        b = (float(b[0]), float(b[1]))
+        if a != b:
+            edges.append((a, b))
+
     # hot pixels: every ORIGINAL vertex and every exact intersection point,
     # snapped to the grid (computed once — the JTS SnapRoundingNoder shape)
-    sub = _self_split(edges)
+    sub_tagged = _self_split_tagged(edges)
     pixels = set()
-    for a, b in sub:
+    for a, b, _ in sub_tagged:
         pixels.add(snap(a))
         pixels.add(snap(b))
+    # only ring-derived sub-edges feed the parity assembly
+    sub = [(a, b) for a, b, idx in sub_tagged if idx < n_ring_edges]
     # route each noded sub-edge through the pixels it enters, in order
     routed = []
     for a, b in sub:
@@ -326,3 +340,89 @@ def make_valid_multipolygon(polys) -> list:
         rings.append(ext)
         rings.extend(holes)
     return make_valid_rings(rings)
+
+
+def _self_split_tagged(edges):
+    """``_self_split`` that also reports each sub-edge's parent edge index."""
+    from geo_spark.kernels.lines import line_intersection
+
+    cuts = [set() for _ in edges]
+    for i in range(len(edges)):
+        a0, a1 = edges[i]
+        for j in range(i + 1, len(edges)):
+            b0, b1 = edges[j]
+            r = line_intersection(a0, a1, b0, b1)
+            if r is None:
+                continue
+            if r[0] == "point":
+                cuts[i].add(r[1])
+                cuts[j].add(r[1])
+            else:
+                p, q = r[1]
+                cuts[i].update((p, q))
+                cuts[j].update((p, q))
+    out = []
+    for idx, ((a, b), cs) in enumerate(zip(edges, cuts)):
+        pts = [a, b] + [c for c in cs if c != a and c != b]
+        dx, dy = b[0] - a[0], b[1] - a[1]
+        if abs(dx) >= abs(dy):
+            pts.sort(key=lambda p: (p[0] - a[0]) / dx if dx else 0.0)
+        else:
+            pts.sort(key=lambda p: (p[1] - a[1]) / dy)
+        for k in range(len(pts) - 1):
+            if pts[k] != pts[k + 1]:
+                out.append((pts[k], pts[k + 1], idx))
+    return out
+
+
+def snap_round_linework(lines_a, lines_b, scale: float):
+    """Joint snap-rounding of two lineworks → (segs_a, segs_b).
+
+    Hot pixels come from BOTH inputs' vertices and all mutual intersection
+    points, and each side's edges are routed through the joint pixel set —
+    so collinear-after-rounding portions end up as identical sub-segments
+    on both sides (the property the fixed-precision line overlays need).
+    Output segments are on-grid, noded, and deduped per side.
+    """
+    h = 0.5 / scale
+
+    def snap(p):
+        return (
+            math.floor(p[0] * scale + 0.5) / scale,
+            math.floor(p[1] * scale + 0.5) / scale,
+        )
+
+    edges = []
+    side_of = []
+    for side, lines in ((0, lines_a), (1, lines_b)):
+        for l in lines:
+            l = np.asarray(l, dtype=np.float64)
+            for k in range(len(l) - 1):
+                a = (float(l[k, 0]), float(l[k, 1]))
+                b = (float(l[k + 1, 0]), float(l[k + 1, 1]))
+                if a != b:
+                    edges.append((a, b))
+                    side_of.append(side)
+    if not edges:
+        return [], []
+    sub = _self_split_tagged(edges)
+    pixels = set()
+    for a, b, _ in sub:
+        pixels.add(snap(a))
+        pixels.add(snap(b))
+    out = ([], [])
+    seen = (set(), set())
+    for a, b, idx in sub:
+        side = side_of[idx]
+        hits = [v for v in pixels if _seg_hits_pixel(a, b, v, h)]
+        dx, dy = b[0] - a[0], b[1] - a[1]
+        hits.sort(key=lambda p: (p[0] - a[0]) * dx + (p[1] - a[1]) * dy)
+        for k in range(len(hits) - 1):
+            p, q = hits[k], hits[k + 1]
+            if p == q:
+                continue
+            key = (p, q) if p <= q else (q, p)
+            if key not in seen[side]:
+                seen[side].add(key)
+                out[side].append((p, q))
+    return out[0], out[1]

@@ -23,14 +23,18 @@ pytestmark = pytest.mark.skipif(
 
 
 def test_jts_general_corpus():
-    # the ENTIRE general corpus, fixed-precision (Prec) files included —
-    # round 2: 471 → 852 and zero failures. +113 full DE-9IM relate
-    # (TestRelate{AA,LA,LL,PA,PL,PP} all pass) + matrix predicate fallbacks;
-    # +21 interior-connectivity validity rules; +90 geometry distance /
-    # isWithinDistance / equalsExact / equalsNorm / isSimple / getBoundary /
-    # densify / getInteriorPoint; +157 fixed-precision + OverlayNG +
-    # snap-rounding (SR) overlays via hot-pixel snap rounding
-    # (kernels.repair.snap_round_rings) composed with the odd-even repair.
+    # the ENTIRE general corpus — round 2: 471 → 1624 and zero failures.
+    # +113 full DE-9IM relate; +21 interior-connectivity validity rules;
+    # +503 non-polygonal validity; +90 distance / isWithinDistance /
+    # equalsExact / equalsNorm / isSimple / getBoundary / densify /
+    # getInteriorPoint; +18 minimumClearance(+Line); line/point overlay
+    # evaluation (intersection/union/difference/symdifference over 0/1-D
+    # operands incl. OverlayNG + snap-rounded variants with joint hot-pixel
+    # line rounding and dimensional-collapse-to-point handling); exact +
+    # fixed-precision polygon overlays via hot-pixel snap rounding
+    # (kernels.repair.snap_round_rings, extra_edges for cutting lines).
+    # Remaining skips are GeometryCollection operands/expectations, buffer
+    # curve approximations, and polygonize-to-GC cases.
     results, failures = run_corpus()
-    assert results["pass"] >= 852, (results, failures[:10])
+    assert results["pass"] >= 1624, (results, failures[:10])
     assert results["fail"] == 0, failures

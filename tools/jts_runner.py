@@ -42,6 +42,7 @@ _SUPPORTED = {
     # OverlayNG (same exact-overlay semantics) and snap-rounding variants
     "intersectionng", "unionng", "differenceng", "symdifferenceng",
     "intersectionsr", "unionsr", "differencesr", "symdifferencesr",
+    "minclearance", "minclearanceline",
 }
 
 _OVERLAY_BASE = {
@@ -210,6 +211,192 @@ def _geoms_equal(ga, gb, normalized: bool = False, tol_abs: float = 0.0) -> bool
     if ka == "MultiPolygon":
         return sorted(canon_poly(p) for p in da) == sorted(canon_poly(p) for p in db)
     return False
+
+
+def _pts_close(got: set, exp: set, tol: float = 1e-7) -> bool:
+    if len(got) != len(exp):
+        return False
+    exp_left = list(exp)
+    for p in got:
+        hit = None
+        for q in exp_left:
+            if abs(p[0] - q[0]) <= tol and abs(p[1] - q[1]) <= tol:
+                hit = q
+                break
+        if hit is None:
+            return False
+        exp_left.remove(hit)
+    return True
+
+
+def _seg_length(segs) -> float:
+    return float(sum(np.hypot(b[0] - a[0], b[1] - a[1]) for a, b in segs))
+
+
+def _on_linework(p, segs, tol: float = 1e-7) -> bool:
+    from geo_spark.kernels.measures import point_segment_distance
+
+    if not segs:
+        return False
+    S = np.asarray([[a[0], a[1], b[0], b[1]] for a, b in segs])
+    d = point_segment_distance(
+        np.full(len(S), p[0]), np.full(len(S), p[1]), S[:, 0], S[:, 1], S[:, 2], S[:, 3]
+    )
+    return bool(np.min(d) <= tol)
+
+
+def _linework_equal(segs1, segs2, tol: float = 1e-7) -> bool:
+    """Same 1-D point set: equal total length and every endpoint + midpoint
+    of each linework lies on the other (split-, noding- and
+    multiplicity-insensitive — an out-and-back traversal is one location)."""
+    segs1 = _dedupe_segs(segs1)
+    segs2 = _dedupe_segs(segs2)
+    l1, l2 = _seg_length(segs1), _seg_length(segs2)
+    if abs(l1 - l2) > tol * max(l1, l2, 1.0):
+        return False
+    for one, other in ((segs1, segs2), (segs2, segs1)):
+        for a, b in one:
+            for p in (a, b, ((a[0] + b[0]) / 2, (a[1] + b[1]) / 2)):
+                if not _on_linework(p, other, tol):
+                    return False
+    return True
+
+
+def _snap_geom(g, scale: float):
+    """Half-up grid snap of every coordinate of a parsed geometry."""
+    def sn(arr):
+        return np.floor(np.asarray(arr, dtype=np.float64) * scale + 0.5) / scale
+
+    kind, data = g
+    if kind == "Point":
+        return (kind, sn(data))
+    if kind in ("LineString", "MultiPoint"):
+        return (kind, sn(np.asarray(data)))
+    if kind == "MultiLineString":
+        return (kind, [sn(l) for l in data])
+    if kind == "Polygon":
+        return (kind, [sn(r) for r in data])
+    if kind == "MultiPolygon":
+        return (kind, [[sn(r) for r in p] for p in data])
+    return g
+
+
+def _dedupe_segs(segs):
+    """Undirected dedupe: overlays return each 1-D location once even when
+    the input linework traverses it repeatedly."""
+    seen = set()
+    out = []
+    for a, b in segs:
+        a = (float(a[0]), float(a[1]))
+        b = (float(b[0]), float(b[1]))
+        key = (a, b) if a <= b else (b, a)
+        if key not in seen and a != b:
+            seen.add(key)
+            out.append((a, b))
+    return out
+
+
+def _nonpoly_overlay(ga, gb, base):
+    """Overlay for operand pairs with a 0/1-dimensional side.
+
+    Returns (points:set, segs:list) or None when the shape combination isn't
+    evaluated (mixed collections). Composition of the engine's noding +
+    classification kernels (relate2.node_pieces, point classes)."""
+    from geo_spark.kernels.relate2 import (
+        _cls_vs_polys,
+        _segs_of_lines,
+        _segs_of_polys,
+        components,
+    )
+    from geo_spark.kernels.relate2 import E as RE
+
+    pa_pts, pa_lines, pa_polys = components(ga)
+    pb_pts, pb_lines, pb_polys = components(gb)
+    from geo_spark.kernels.relate2 import node_pieces
+
+    # point × point
+    if not (pa_lines or pa_polys or pb_lines or pb_polys):
+        A = {tuple(p) for p in pa_pts}
+        B = {tuple(p) for p in pb_pts}
+        return {
+            "intersection": (A & B, []),
+            "union": (A | B, []),
+            "difference": (A - B, []),
+            "symdifference": (A ^ B, []),
+        }[base]
+
+    def in_closure(p, pts, lines, polys):
+        from geo_spark.kernels.relate2 import _on_segs
+
+        if polys and _cls_vs_polys(p, polys) != RE:
+            return True
+        if lines and _on_segs(p, _segs_of_lines(lines)):
+            return True
+        return tuple(p) in {tuple(q) for q in pts}
+
+    # point A × anything B
+    if pa_pts and not pa_lines and not pa_polys:
+        A = {tuple(p) for p in pa_pts}
+        inside = {p for p in A if in_closure(p, pb_pts, pb_lines, pb_polys)}
+        if base == "intersection":
+            return (inside, [])
+        if base == "difference":
+            return (A - inside, [])
+        return None  # union/symdiff with a higher-dim side → collection
+    # anything A × point B: points remove nothing from a 1/2-D geometry
+    if pb_pts and not pb_lines and not pb_polys:
+        if base == "intersection":
+            B = {tuple(p) for p in pb_pts}
+            inside = {p for p in B if in_closure(p, pa_pts, pa_lines, pa_polys)}
+            return (inside, [])
+        if base == "difference" and pa_lines and not pa_polys:
+            # lines minus points: the (noded, deduped) linework is unchanged
+            pieces, _ = node_pieces(pa_lines, _segs_of_lines(pa_lines))
+            return (set(), _dedupe_segs([(a, b) for a, b, _ in pieces]))
+        return None
+
+    # line × line
+    if pa_lines and not pa_polys and pb_lines and not pb_polys:
+        segsA = _segs_of_lines(pa_lines)
+        segsB = _segs_of_lines(pb_lines)
+        piecesA, nodesA = node_pieces(pa_lines, segsB)
+        piecesB, _ = node_pieces(pb_lines, segsA)
+        shared = [(a, b) for a, b, on in piecesA if on]
+        only_a = [(a, b) for a, b, on in piecesA if not on]
+        only_b = [(a, b) for a, b, on in piecesB if not on]
+        if base == "intersection":
+            if shared:
+                return (set(), _dedupe_segs(shared))
+            return ({(float(p[0]), float(p[1])) for p in nodesA}, [])
+        if base == "union":
+            return (set(), _dedupe_segs([(a, b) for a, b, _ in piecesA] + only_b))
+        if base == "difference":
+            return (set(), _dedupe_segs(only_a))
+        return (set(), _dedupe_segs(only_a + only_b))
+
+    # line × area (and area × line for intersection/difference)
+    la, Aa = (pa_lines, pa_polys)
+    lb, Ab = (pb_lines, pb_polys)
+    if la and not Aa and Ab and not lb:
+        ring_segs = _segs_of_polys(Ab)
+        pieces, _ = node_pieces(la, ring_segs)
+        res_in, res_out = [], []
+        for a, b, on in pieces:
+            if on:
+                res_in.append((a, b))
+                continue
+            mid = ((a[0] + b[0]) / 2, (a[1] + b[1]) / 2)
+            (res_in if _cls_vs_polys(mid, Ab) != RE else res_out).append((a, b))
+        if base == "intersection":
+            return (set(), _dedupe_segs(res_in))
+        if base == "difference":
+            return (set(), _dedupe_segs(res_out))
+        return None
+    if Aa and not la and lb and not Ab:
+        if base == "intersection":
+            return _nonpoly_overlay(gb, ga, "intersection")
+        return None  # difference(area, line) = area (handled by caller)
+    return None
 
 
 def _poly_area(polys):
@@ -527,6 +714,24 @@ def run_case(c) -> str:
             # with coords rounded past the 1-ulp interpolation differences
             return "pass" if _geoms_equal(rounded(mine), rounded(exp), normalized=True) else "fail"
 
+        if op in ("minclearance", "minclearanceline"):
+            from geo_spark.kernels.gdistance import minimum_clearance
+
+            got, pair = minimum_clearance(ga)
+            if op == "minclearance":
+                want = float(expected)
+                return "pass" if abs(got - want) <= 1e-6 * max(want, 1.0) else "fail"
+            if "EMPTY" in expected.upper():
+                return "pass" if pair is None else "fail"
+            exp = _clean_wkt(expected)
+            if exp is None or exp[0] != "LineString" or pair is None:
+                return "skip" if exp is None else ("fail" if pair is None else "skip")
+            ec = np.asarray(exp[1], dtype=np.float64)
+            mine = np.asarray(pair, dtype=np.float64)
+            fwd = np.allclose(mine, ec, atol=1e-6)
+            rev = np.allclose(mine[::-1], ec, atol=1e-6)
+            return "pass" if (fwd or rev) else "fail"
+
         if op in ("getcentroid", "interiorpoint", "getinteriorpoint"):
             exp = _clean_wkt(expected)
             if exp is None or exp[0] != "Point":
@@ -553,7 +758,22 @@ def run_case(c) -> str:
         if op == "isvalid":
             polys = _as_polygons(ga)
             if polys is None:
-                return "skip"
+                # non-polygonal validity: points are valid when finite; a
+                # linestring needs >= 2 distinct coordinates (JTS rule —
+                # LINESTRING(p, p) is invalid)
+                ka, da = ga
+                if ka in ("Point", "MultiPoint"):
+                    got = bool(np.isfinite(_all_coords(ga)).all())
+                elif ka in ("LineString", "MultiLineString"):
+                    comps = [da] if ka == "LineString" else list(da)
+                    got = all(
+                        len(np.unique(np.asarray(l, dtype=np.float64), axis=0)) >= 2
+                        and np.isfinite(l).all()
+                        for l in comps
+                    )
+                else:
+                    return "skip"
+                return "pass" if got == (expected.lower() == "true") else "fail"
             from geo_spark.kernels.geom2 import validate_multipolygon
 
             got = not validate_multipolygon(polys)
@@ -563,6 +783,101 @@ def run_case(c) -> str:
             base = _OVERLAY_BASE[op]
             pa, pb = _as_polygons(ga), _as_polygons(gb) if gb else None
             exp = _clean_wkt(expected)
+            grid_np = c.get("scale")
+            if op.endswith("sr") and c.get("arg3"):
+                grid_np = float(c["arg3"])
+            if (pa is None or pb is None) and gb is not None:
+                # a 0/1-dimensional operand is involved
+                if grid_np:
+                    # fixed-precision policy (JTS OverlayNG): point operands
+                    # snap to the grid; pure line×line pairs get joint
+                    # hot-pixel snap rounding; a 1/2-D operand tested against
+                    # a point stays unsnapped (outputs are rounded below)
+                    if ga[0] in ("Point", "MultiPoint"):
+                        ga = _snap_geom(ga, grid_np)
+                    if gb[0] in ("Point", "MultiPoint"):
+                        gb = _snap_geom(gb, grid_np)
+                    if ga[0] in ("LineString", "MultiLineString") and gb[0] in (
+                        "LineString",
+                        "MultiLineString",
+                    ):
+                        from geo_spark.kernels.repair import snap_round_linework
+                        from geo_spark.kernels.relate2 import components
+
+                        _, la_, _ = components(ga)
+                        _, lb_, _ = components(gb)
+                        sa, sb = snap_round_linework(la_, lb_, grid_np)
+                        ga = ("MultiLineString", [np.asarray([a, b]) for a, b in sa])
+                        gb = ("MultiLineString", [np.asarray([a, b]) for a, b in sb])
+                if pa is not None and pb is None and base == "difference":
+                    # area minus line/point: the area is unchanged — except
+                    # under fixed precision, where the line's intersection
+                    # vertices become hot pixels that can collapse slivers
+                    pe = _as_polygons(exp) if exp is not None else None
+                    if pe is None:
+                        return "skip"
+                    if grid_np:
+                        from geo_spark.kernels.relate2 import _segs_of_lines, components
+                        from geo_spark.kernels.repair import snap_round_rings
+
+                        _, gb_lines, _ = components(gb)
+                        extra = [
+                            ((s[0], s[1]), (s[2], s[3]))
+                            for s in _segs_of_lines(gb_lines)
+                        ] if gb_lines else []
+                        rings = [r for ext, holes in pa for r in [ext] + list(holes)]
+                        mine_a = snap_round_rings(rings, grid_np, extra_edges=extra)
+                    else:
+                        mine_a = pa
+                    return (
+                        "pass"
+                        if abs(_poly_area(mine_a) - _poly_area(pe))
+                        <= 1e-6 * max(_poly_area(pe), 1.0)
+                        else "fail"
+                    )
+                result = _nonpoly_overlay(ga, gb, base)
+                if result is None:
+                    return "skip"
+                pts, segs = result
+                if grid_np:
+                    # snap output (intersection points land off-grid); a
+                    # segment that collapses to zero length at the grid is a
+                    # dimensional collapse — in an intersection it survives
+                    # as a point (JTS OverlayNG collapse handling)
+                    def snp(p):
+                        return (
+                            float(np.floor(p[0] * grid_np + 0.5) / grid_np),
+                            float(np.floor(p[1] * grid_np + 0.5) / grid_np),
+                        )
+
+                    snapped_segs = [(snp(a), snp(b)) for a, b in segs]
+                    if base == "intersection":
+                        pts = {snp(p) for p in pts} | {
+                            a for a, b in snapped_segs if a == b
+                        }
+                    else:
+                        pts = {snp(p) for p in pts}
+                    segs = _dedupe_segs(snapped_segs)
+                if exp is None:
+                    if "EMPTY" in expected.upper():
+                        return "pass" if (not pts and not segs) else "fail"
+                    return "skip"
+                if exp[0] in ("Point", "MultiPoint"):
+                    if segs:
+                        return "fail"
+                    exp_pts = {tuple(p) for p in _all_coords(exp)}
+                    return "pass" if _pts_close(pts, exp_pts) else "fail"
+                if exp[0] in ("LineString", "MultiLineString"):
+                    if pts:
+                        return "fail"
+                    from geo_spark.kernels.relate2 import _segs_of_lines, components
+
+                    _, exp_lines, _ = components(exp)
+                    exp_segs = [
+                        ((s[0], s[1]), (s[2], s[3])) for s in _segs_of_lines(exp_lines)
+                    ]
+                    return "pass" if _linework_equal(segs, exp_segs) else "fail"
+                return "skip"
             if pa is None or pb is None or exp is None:
                 return "skip"
             pe = _as_polygons(exp)
