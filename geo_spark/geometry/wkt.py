@@ -48,11 +48,32 @@ def _split_groups(body: str) -> list[str]:
 
 def parse_wkt(text: str):
     text = text.strip()
+    if re.match(r"^\s*GEOMETRYCOLLECTION\s+EMPTY\s*$", text, re.I):
+        return "GeometryCollection", []
     m = re.match(r"^\s*(\w+)\s*\((.*)\)\s*$", text, re.S)
     if not m:
         raise ValueError(f"cannot parse WKT: {text[:80]!r}")
     tag = m.group(1).upper()
     body = m.group(2)
+    if tag == "GEOMETRYCOLLECTION":
+        # split on depth-0 commas; each member is a full WKT geometry
+        members, depth, start = [], 0, 0
+        for i, ch in enumerate(body):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                members.append(body[start:i])
+                start = i + 1
+        members.append(body[start:])
+        parsed = []
+        for mtxt in members:
+            mtxt = mtxt.strip()
+            if not mtxt or re.match(r"^\w+\s+EMPTY$", mtxt, re.I) or mtxt.upper() == "EMPTY":
+                continue
+            parsed.append(parse_wkt(mtxt))
+        return "GeometryCollection", parsed
     if tag == "POINT":
         return "Point", _parse_coord_seq(body)[0]
     if tag == "LINESTRING":

@@ -82,6 +82,14 @@ def components(g):
     if kind == "MultiPolygon":
         return [], [], [(np.asarray(p[0], dtype=np.float64),
                          [np.asarray(h, dtype=np.float64) for h in p[1:]]) for p in data]
+    if kind == "GeometryCollection":
+        pts, lines, polys = [], [], []
+        for m in data:
+            p, l, A = components(m)
+            pts.extend(p)
+            lines.extend(l)
+            polys.extend(A)
+        return pts, lines, polys
     raise ValueError(f"unsupported geometry kind: {kind}")
 
 

@@ -23,7 +23,7 @@ pytestmark = pytest.mark.skipif(
 
 
 def test_jts_general_corpus():
-    # the ENTIRE general corpus — round 2: 471 → 1624 and zero failures.
+    # the ENTIRE general corpus — round 2: 471 → 1647 and zero failures.
     # +113 full DE-9IM relate; +21 interior-connectivity validity rules;
     # +503 non-polygonal validity; +90 distance / isWithinDistance /
     # equalsExact / equalsNorm / isSimple / getBoundary / densify /
@@ -33,8 +33,10 @@ def test_jts_general_corpus():
     # line rounding and dimensional-collapse-to-point handling); exact +
     # fixed-precision polygon overlays via hot-pixel snap rounding
     # (kernels.repair.snap_round_rings, extra_edges for cutting lines).
-    # Remaining skips are GeometryCollection operands/expectations, buffer
-    # curve approximations, and polygonize-to-GC cases.
+    # GeometryCollections parse and participate (polygonal collections in
+    # overlays/validity, component-merged in relate). Remaining skips are
+    # mixed-dimension GC results, buffer curve approximations, and
+    # polygonize-to-GC cases.
     results, failures = run_corpus()
-    assert results["pass"] >= 1624, (results, failures[:10])
+    assert results["pass"] >= 1647, (results, failures[:10])
     assert results["fail"] == 0, failures

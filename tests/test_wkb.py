@@ -77,3 +77,15 @@ def test_polygon_from_wkb_spark(spark):
     assert [(c["x"], c["y"]) for c in g["exterior"]] == [tuple(p) for p in ring]
     assert [(c["x"], c["y"]) for c in g["interiors"][0]] == [tuple(p) for p in hole]
     assert out[1]["g"] is None or out[1]["g"]["exterior"] is None
+
+
+def test_parse_geometrycollection():
+    g = parse_wkt(
+        "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1), "
+        "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0)))"
+    )
+    assert g[0] == "GeometryCollection" and len(g[1]) == 3
+    assert [m[0] for m in g[1]] == ["Point", "LineString", "Polygon"]
+    assert parse_wkt("GEOMETRYCOLLECTION EMPTY") == ("GeometryCollection", [])
+    nested = parse_wkt("GEOMETRYCOLLECTION (GEOMETRYCOLLECTION (POINT (1 1)))")
+    assert nested[1][0][0] == "GeometryCollection"

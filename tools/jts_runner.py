@@ -57,7 +57,7 @@ _OVERLAY_BASE = {
 
 def _clean_wkt(text: str):
     text = " ".join(text.split())
-    if not text or text.upper().startswith("GEOMETRYCOLLECTION"):
+    if not text:
         return None
     if re.search(r"\d+\s+\d+\s+[-\d.]+\s*[,)]", text):
         pass  # 2-D pairs only in this corpus
@@ -121,12 +121,21 @@ def _snap_polys(polys, scale: float):
 
 
 def _as_polygons(g):
-    """[(exterior, holes)] or None. Empty members are dropped (valid no-ops)."""
+    """[(exterior, holes)] or None. Empty members are dropped (valid no-ops);
+    a GeometryCollection qualifies when every member is polygonal."""
     kind, data = g
     if kind == "Polygon":
         return [(data[0], data[1:])] if len(data) else []
     if kind == "MultiPolygon":
         return [(p[0], p[1:]) for p in data if len(p)]
+    if kind == "GeometryCollection":
+        out = []
+        for m in data:
+            sub = _as_polygons(m)
+            if sub is None:
+                return None
+            out.extend(sub)
+        return out
     return None
 
 
@@ -142,6 +151,10 @@ def _all_coords(g):
         return np.vstack(data)
     if kind == "MultiPolygon":
         return np.vstack([np.vstack(p) for p in data])
+    if kind == "GeometryCollection":
+        if not data:
+            return np.empty((0, 2))
+        return np.vstack([_all_coords(m) for m in data])
     raise ValueError(kind)
 
 
@@ -756,6 +769,10 @@ def run_case(c) -> str:
             return "pass" if _point_in_multi(got[0], got[1], polys) == 1 else "fail"
 
         if op == "isvalid":
+            if ga[0] == "GeometryCollection":
+                sub = [dict(c, a=m, op="isvalid", expected="true") for m in ga[1]]
+                got = all(run_case(sc) == "pass" for sc in sub)
+                return "pass" if got == (expected.lower() == "true") else "fail"
             polys = _as_polygons(ga)
             if polys is None:
                 # non-polygonal validity: points are valid when finite; a
