@@ -380,9 +380,17 @@ def _relate_aa(Aa, Ab) -> str:
 
 
 def relate_matrix(ga, gb) -> str:
-    """DE-9IM matrix string for any supported (kind, data) geometry pair."""
+    """DE-9IM matrix string for any supported (kind, data) geometry pair.
+
+    Operands must be dimension-homogeneous (a GeometryCollection is fine as
+    long as all members share a dimension) — a mixed collection's matrix is
+    not the elementwise combination of its parts, so it raises instead of
+    silently dropping the lower-dimensional members."""
     pa, la, Aa = components(ga)
     pb, lb, Ab = components(gb)
+    for p, l, A in ((pa, la, Aa), (pb, lb, Ab)):
+        if sum(1 for c in (p, l, A) if c) > 1:
+            raise ValueError("relate over mixed-dimension collections is unsupported")
 
     def klass(p, l, A):
         if A:

@@ -596,7 +596,10 @@ def run_case(c) -> str:
             else:
                 got = _covers(gb, ga)
             if got is None:
-                # general fallback: full DE-9IM matrix predicates
+                # general fallback: full DE-9IM matrix predicates, with
+                # GeometryCollection operands decomposed (intersects = any
+                # member; covers = all members; contains = all covered and
+                # some member meeting the interior — JTS's GC semantics)
                 from geo_spark.kernels.relate import (
                     is_contains,
                     is_covers,
@@ -604,16 +607,41 @@ def run_case(c) -> str:
                 )
                 from geo_spark.kernels.relate2 import relate_matrix
 
+                def flat(g):
+                    if g[0] != "GeometryCollection":
+                        return [g]
+                    out = []
+                    for m in g[1]:
+                        out.extend(flat(m))
+                    return out
+
+                def p_intersects(x, y):
+                    return any(
+                        is_intersects(relate_matrix(mx, my))
+                        for mx in flat(x)
+                        for my in flat(y)
+                    )
+
+                def p_covers(x, y):
+                    if len(flat(x)) > 1:
+                        raise ValueError("covering side may not be a collection")
+                    return all(is_covers(relate_matrix(x, my)) for my in flat(y))
+
+                def p_contains(x, y):
+                    if not p_covers(x, y):
+                        return False
+                    return any(relate_matrix(x, my)[0] != "F" for my in flat(y))
+
                 if op == "intersects":
-                    got = is_intersects(relate_matrix(ga, gb))
+                    got = p_intersects(ga, gb)
                 elif op == "contains":
-                    got = is_contains(relate_matrix(ga, gb))
+                    got = p_contains(ga, gb)
                 elif op == "within":
-                    got = is_contains(relate_matrix(gb, ga))
+                    got = p_contains(gb, ga)
                 elif op == "covers":
-                    got = is_covers(relate_matrix(ga, gb))
+                    got = p_covers(ga, gb)
                 else:
-                    got = is_covers(relate_matrix(gb, ga))
+                    got = p_covers(gb, ga)
             return "pass" if got == (expected.lower() == "true") else "fail"
 
         if op == "convexhull":
