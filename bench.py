@@ -78,22 +78,25 @@ def main():
     timings["flagship_pip_pipeline"] = t_pip
     throughput = n_joined / t_pip if t_pip > 0 else 0.0
 
-    # --- oracle-checked query set (one warmup pass, then min of 2 timed) ---
-    # this VM shows multi-second JVM jitter at high thread counts (see
-    # BENCH/BASELINE.md); min-of-2 reports steady-state per query
+    # --- oracle-checked query set (one warmup pass, then min of 3 timed) ---
+    # this VM shows multi-second intermittent JVM jitter at high thread
+    # counts (see BENCH/BASELINE.md): a single jitter spike inflated two
+    # round-2 numbers 16x under min-of-2. Min-of-3 after warmup is robust to
+    # one spike per query; all samples are emitted for transparency.
+    query_samples: dict[str, list[float]] = {}
     for name, fn in entrymod.queries().items():
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         except Exception:
             pass
-        best = None
-        for _ in range(2):
+        runs = []
+        for _ in range(3):
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            runs.append(round(time.time() - t0, 3))
+        timings[name] = min(runs)
+        query_samples[name] = runs
 
     total = round(sum(timings.values()), 3)
     print(
@@ -108,6 +111,7 @@ def main():
                 "flagship_samples": samples,
                 "cpus": cpus,
                 "queries": timings,
+                "query_samples": query_samples,
                 "sf": sf,
             }
         )

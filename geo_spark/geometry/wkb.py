@@ -21,7 +21,12 @@ import struct
 import numpy as np
 import pandas as pd
 
-_PT, _LS, _PG, _MPT, _MLS, _MPG = 1, 2, 3, 4, 5, 6
+_PT, _LS, _PG, _MPT, _MLS, _MPG, _GC = 1, 2, 3, 4, 5, 6, 7
+
+# EWKB (PostGIS) dimensionality / SRID flag bits on the 32-bit type word.
+_EWKB_Z = 0x80000000
+_EWKB_M = 0x40000000
+_EWKB_SRID = 0x20000000
 
 
 class _Reader:
@@ -36,31 +41,50 @@ class _Reader:
         self.pos += struct.calcsize(fmt)
         return out
 
-    def coords(self, n: int, bo: str) -> np.ndarray:
+    def coords(self, n: int, bo: str, dim: int = 2) -> np.ndarray:
+        """Read n points of `dim` doubles each; return the 2-D (x, y) slice."""
         arr = np.frombuffer(
-            self.buf, dtype=("<f8" if bo == "<" else ">f8"), count=2 * n, offset=self.pos
+            self.buf, dtype=("<f8" if bo == "<" else ">f8"), count=dim * n, offset=self.pos
         )
-        self.pos += 16 * n
-        return arr.reshape(n, 2).astype(np.float64)
+        self.pos += 8 * dim * n
+        return arr.reshape(n, dim)[:, :2].astype(np.float64)
 
 
 def _read_geom(r: _Reader):
     (order,) = r.take("B")
     bo = "<" if order == 1 else ">"
-    (gtype,) = r.take(bo + "I")
-    gtype &= 0xFF  # tolerate EWKB flag bits (SRID flag not supported)
+    (raw,) = r.take(bo + "I")
+    # Decode EWKB flag bits (PostGIS) and ISO/SQL-MM 1000-offset type codes;
+    # Z/M coordinates are read and stripped, SRID words are skipped.
+    gtype = raw & 0x0FFFFFFF
+    dim = 2
+    if raw & _EWKB_Z:
+        dim += 1
+    if raw & _EWKB_M:
+        dim += 1
+    if gtype >= 1000:  # ISO: 1000=Z, 2000=M, 3000=ZM
+        iso = gtype // 1000
+        gtype %= 1000
+        if iso in (1, 2):
+            dim += 1
+        elif iso == 3:
+            dim += 2
+        else:
+            raise ValueError(f"unsupported ISO WKB type offset: {iso * 1000}")
+    if raw & _EWKB_SRID:
+        r.take(bo + "I")  # skip SRID
     if gtype == _PT:
-        x, y = r.take(bo + "dd")
-        return ("Point", np.array([x, y], dtype=np.float64))
+        xy = r.coords(1, bo, dim)[0]
+        return ("Point", np.array([xy[0], xy[1]], dtype=np.float64))
     if gtype == _LS:
         (n,) = r.take(bo + "I")
-        return ("LineString", r.coords(n, bo))
+        return ("LineString", r.coords(n, bo, dim))
     if gtype == _PG:
         (nr,) = r.take(bo + "I")
         rings = []
         for _ in range(nr):
             (n,) = r.take(bo + "I")
-            rings.append(r.coords(n, bo))
+            rings.append(r.coords(n, bo, dim))
         return ("Polygon", rings)
     if gtype in (_MPT, _MLS, _MPG):
         (n,) = r.take(bo + "I")
@@ -70,6 +94,9 @@ def _read_geom(r: _Reader):
         if gtype == _MLS:
             return ("MultiLineString", [m[1] for m in members])
         return ("MultiPolygon", [m[1] for m in members])
+    if gtype == _GC:
+        (n,) = r.take(bo + "I")
+        return ("GeometryCollection", [_read_geom(r) for _ in range(n)])
     raise ValueError(f"unsupported WKB geometry type: {gtype}")
 
 
@@ -104,6 +131,10 @@ def _write_geom(g, out: bytearray):
         sub = {"MultiPoint": "Point", "MultiLineString": "LineString", "MultiPolygon": "Polygon"}[kind]
         for m in data:
             _write_geom((sub, m), out)
+    elif kind == "GeometryCollection":
+        out += struct.pack("<II", _GC, len(data))
+        for member in data:
+            _write_geom(member, out)
     else:
         raise ValueError(f"unsupported kind: {kind}")
 

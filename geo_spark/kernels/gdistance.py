@@ -80,13 +80,25 @@ def _lines_simple(lines) -> bool:
     involving a closed curve — or an interior vertex — is non-simple)."""
     from geo_spark.kernels.lines import line_intersection
 
+    # Collapse repeated consecutive vertices first so segment ordinals are
+    # post-dedup: a zero-length segment must not desynchronize the
+    # consecutive-joint and ring-closure exemptions below.
+    dedup = []
+    for l in lines:
+        l = np.asarray(l, dtype=np.float64)
+        if len(l) > 1:
+            keep = np.ones(len(l), dtype=bool)
+            keep[1:] = (l[1:] != l[:-1]).any(axis=1)
+            l = l[keep]
+        dedup.append(l)
+    lines = dedup
+
     segs = []
     meta = []  # (line idx, seg idx)
     for li, l in enumerate(lines):
         for k in range(len(l) - 1):
-            if (l[k] != l[k + 1]).any():
-                segs.append((l[k], l[k + 1]))
-                meta.append((li, k))
+            segs.append((l[k], l[k + 1]))
+            meta.append((li, k))
     n_segs_per_line = {}
     for li, _ in meta:
         n_segs_per_line[li] = n_segs_per_line.get(li, 0) + 1

@@ -235,36 +235,49 @@ def snap_round_rings(rings, scale: float, max_iter: int = 8, extra_edges=()) -> 
     if not edges:
         return []
 
-    n_ring_edges = len(edges)
+    ring_edges = edges
+    extra = []
     for a, b in extra_edges:
         a = (float(a[0]), float(a[1]))
         b = (float(b[0]), float(b[1]))
         if a != b:
-            edges.append((a, b))
+            extra.append((a, b))
 
-    # hot pixels: every ORIGINAL vertex and every exact intersection point,
-    # snapped to the grid (computed once — the JTS SnapRoundingNoder shape)
-    sub_tagged = _self_split_tagged(edges)
-    pixels = set()
-    for a, b, _ in sub_tagged:
-        pixels.add(snap(a))
-        pixels.add(snap(b))
-    # only ring-derived sub-edges feed the parity assembly
-    sub = [(a, b) for a, b, idx in sub_tagged if idx < n_ring_edges]
-    # route each noded sub-edge through the pixels it enters, in order
-    routed = []
-    for a, b in sub:
-        hits = [v for v in pixels if _seg_hits_pixel(a, b, v, h)]
-        dx, dy = b[0] - a[0], b[1] - a[1]
-        # order along the segment by projection onto its direction (a
-        # dominant-axis sort ties when two pixels share that coordinate)
-        hits.sort(key=lambda p: (p[0] - a[0]) * dx + (p[1] - a[1]) * dy)
-        for k in range(len(hits) - 1):
-            if hits[k] != hits[k + 1]:
-                routed.append((hits[k], hits[k + 1]))
-    if not routed:
-        return []
-    return _edges_to_valid(_self_split(routed))
+    # Iterate { node → snap → re-route } until the routed edge multiset is
+    # stable (bounded by max_iter). A single pass can leave off-grid
+    # intersections between ROUTED edges (two grid segments may cross at a
+    # non-grid point); re-noding + re-routing bends both through that
+    # point's hot pixel, so the converged output has every vertex on the
+    # grid and every crossing at a vertex.
+    for _ in range(max(1, max_iter)):
+        sub_tagged = _self_split_tagged(ring_edges + extra)
+        # hot pixels: every vertex and every exact intersection point,
+        # snapped to the grid (the JTS SnapRoundingNoder shape)
+        pixels = set()
+        for a, b, _ in sub_tagged:
+            pixels.add(snap(a))
+            pixels.add(snap(b))
+        n_ring = len(ring_edges)
+        routed_ring, routed_extra = [], []
+        for a, b, idx in sub_tagged:
+            hits = [v for v in pixels if _seg_hits_pixel(a, b, v, h)]
+            dx, dy = b[0] - a[0], b[1] - a[1]
+            # order along the segment by projection onto its direction (a
+            # dominant-axis sort ties when two pixels share that coordinate)
+            hits.sort(key=lambda p: (p[0] - a[0]) * dx + (p[1] - a[1]) * dy)
+            target = routed_ring if idx < n_ring else routed_extra
+            for k in range(len(hits) - 1):
+                if hits[k] != hits[k + 1]:
+                    target.append((hits[k], hits[k + 1]))
+        stable = Counter(map(_undirected, routed_ring)) == Counter(
+            map(_undirected, ring_edges)
+        ) and Counter(map(_undirected, routed_extra)) == Counter(map(_undirected, extra))
+        ring_edges, extra = routed_ring, routed_extra
+        if not ring_edges:
+            return []
+        if stable:
+            break
+    return _edges_to_valid(_self_split(ring_edges))
 
 
 def _split_pinch_ring(ring: np.ndarray) -> list[np.ndarray]:

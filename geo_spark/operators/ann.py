@@ -144,6 +144,7 @@ def cosine_near_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     planes: np.ndarray | None = None,
+    max_bucket: int = 2000,
 ) -> DataFrame:
     """Embedding near-duplicate pairs (id_a < id_b, cosine ≥ threshold).
 
@@ -152,10 +153,12 @@ def cosine_near_pairs(
     (self-join on the bucket id — the 100 TB shape: no all-pairs anywhere),
     then the exact cosine (JVM higher-order SQL) filters. Recall for
     cosine ≥ 0.9 with 8×8-bit tables is ≈ 99.9%+ at near-dup similarity.
+    Buckets over ``max_bucket`` rows (duplicate-heavy shards) take the O(n)
+    identical-vector chain path (``banded_candidate_pairs``).
     """
     from pyspark.storagelevel import StorageLevel
 
-    from geo_spark.operators.dedup import ensure_parallelism
+    from geo_spark.operators.dedup import banded_candidate_pairs, ensure_parallelism
 
     H = planes if planes is not None else _hyperplanes(dim, n_planes, seed=7)
     b = n_planes // bands
@@ -174,29 +177,16 @@ def cosine_near_pairs(
     d = ensure_parallelism(df).select(F.col(id_col), F.col(vec_col).alias("_vec"))
     banded = (
         d.withColumn("_b", band_udf(F.col("_vec")))
-        .select(id_col, "_vec", F.posexplode("_b").alias("band_idx", "band_val"))
+        .select(id_col, "_vec", F.posexplode("_b").alias("band_idx", "band_hash"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    a, c = banded.alias("a"), banded.alias("b")
-    pairs = (
-        a.join(
-            c,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a._vec").alias("_va"),
-            F.col("b._vec").alias("_vb"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    pairs = banded_candidate_pairs(banded, id_col, "_vec", max_bucket)
+    denom = _norm(F.col("_vec_a")) * _norm(F.col("_vec_b"))
+    cos = F.when(denom == 0, F.lit(0.0)).otherwise(
+        _dot(F.col("_vec_a"), F.col("_vec_b")) / denom
     )
-    denom = _norm(F.col("_va")) * _norm(F.col("_vb"))
-    cos = F.when(denom == 0, F.lit(0.0)).otherwise(_dot(F.col("_va"), F.col("_vb")) / denom)
     return (
         pairs.withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
-        .drop("_va", "_vb")
+        .drop("_vec_a", "_vec_b")
     )

@@ -116,6 +116,36 @@ def _canon_driver(edge_rows, key_rows, spark) -> DataFrame | None:
     return spark.createDataFrame(canon_rows, schema="cell long, label long, gid long")
 
 
+def _dist_row_number(df: DataFrame, cols: list, name: str) -> DataFrame:
+    """Dense 0-based row ids ordered by ``cols`` WITHOUT a single-partition
+    global Window: range-partition on the key, rank within each partition,
+    then add cumulative partition offsets. ``repartitionByRange`` places
+    ascending key ranges in ascending partition ids, so
+    global_rank = offset(partition) + local_rank. The offset table is one
+    row per partition — broadcast-joined back. Scales to 10^7+ keys where
+    ``Window.orderBy`` with no partitionBy would funnel everything through
+    one task."""
+    from pyspark.sql import Window
+
+    part = df.repartitionByRange(*[F.col(c) for c in cols]).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    wloc = Window.partitionBy("_pid").orderBy(*cols)
+    local = part.withColumn("_loc", F.row_number().over(wloc).cast("long") - 1)
+    woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        local.groupBy("_pid")
+        .count()
+        .withColumn("_off", F.coalesce(F.sum("count").over(woff), F.lit(0)).cast("long"))
+        .select("_pid", "_off")
+    )
+    return (
+        local.join(F.broadcast(offs), "_pid")
+        .withColumn(name, (F.col("_off") + F.col("_loc")).cast("long"))
+        .drop("_pid", "_loc", "_off")
+    )
+
+
 def _canon_distributed(edges: DataFrame, keys: DataFrame, max_iter: int = 50) -> DataFrame:
     """Connected components over (cell, label) vertices without collecting.
 
@@ -127,12 +157,11 @@ def _canon_distributed(edges: DataFrame, keys: DataFrame, max_iter: int = 50) ->
     (cell, label) in the component and the dense ``gid`` numbering is
     byte-identical to the driver union-find path.
     """
-    from pyspark.sql import Window
-
-    w = Window.orderBy("cell", "label")
-    vids = keys.select(
-        "cell", "label", (F.row_number().over(w) - 1).cast("long").alias("vid")
-    ).localCheckpoint()
+    vids = (
+        _dist_row_number(keys.select("cell", "label"), ["cell", "label"], "vid")
+        .select("cell", "label", "vid")
+        .localCheckpoint()
+    )
     va = vids.select(
         F.col("cell").alias("ca"), F.col("label").alias("la"), F.col("vid").alias("src")
     )
@@ -176,12 +205,7 @@ def _canon_distributed(edges: DataFrame, keys: DataFrame, max_iter: int = 50) ->
         if changed == 0:
             break
     # dense gid by ascending component id == ascending min (cell, label)
-    wg = Window.orderBy("comp")
-    gids = (
-        comp.select("comp").distinct().select(
-            "comp", (F.row_number().over(wg) - 1).cast("long").alias("gid")
-        )
-    )
+    gids = _dist_row_number(comp.select("comp").distinct(), ["comp"], "gid")
     return (
         comp.join(gids, "comp")
         .join(vids, "vid")

@@ -54,6 +54,68 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     return df
 
 
+def banded_candidate_pairs(
+    banded: DataFrame, id_col: str, payload: str, max_bucket: int = 2000
+) -> DataFrame:
+    """Candidate (id_a < id_b) pairs from an exploded band table
+    ``(id, payload, band_idx, band_hash)`` with a duplicate-heavy-bucket
+    guard.
+
+    Buckets of ≤ ``max_bucket`` rows: plain all-pairs bucket self-join (the
+    normal LSH path). Oversized buckets are almost always exact-duplicate
+    clusters, where all-pairs is m²: rows are grouped into identical-payload
+    classes; each class emits a sorted-id CHAIN (O(n) pairs that cover the
+    clique transitively — payloads are identical so any verify metric passes
+    trivially), and one representative per class joins all-pairs across
+    classes (bounded by the distinct-payload count). A 10k-identical-doc
+    shard therefore produces ~10k candidates, not 5·10⁷.
+
+    Returns id_a, id_b, {payload}_a, {payload}_b, deduplicated on the id
+    pair. Shuffle keys are always (band_idx, band_hash) — no cartesian.
+    """
+    from pyspark.sql import Window
+
+    sizes = banded.groupBy("band_idx", "band_hash").agg(F.count("*").alias("_bsz"))
+    b = banded.join(sizes, ["band_idx", "band_hash"])
+    small = b.filter(F.col("_bsz") <= max_bucket).drop("_bsz")
+    big = b.filter(F.col("_bsz") > max_bucket).drop("_bsz")
+
+    def _all_pairs(d: DataFrame) -> DataFrame:
+        a_, b_ = d.alias("a"), d.alias("b")
+        return a_.join(
+            b_,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        ).select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{payload}").alias(f"{payload}_a"),
+            F.col(f"b.{payload}").alias(f"{payload}_b"),
+        )
+
+    pairs = _all_pairs(small)
+    wcls = Window.partitionBy("band_idx", "band_hash", payload).orderBy(id_col)
+    chained = (
+        big.withColumn("_prev", F.lag(id_col).over(wcls))
+        .filter(F.col("_prev").isNotNull())
+        .select(
+            F.col("_prev").alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.col(payload).alias(f"{payload}_a"),
+            F.col(payload).alias(f"{payload}_b"),
+        )
+    )
+    reps = big.groupBy("band_idx", "band_hash", payload).agg(
+        F.min(id_col).alias(id_col)
+    )
+    return (
+        pairs.unionByName(chained)
+        .unionByName(_all_pairs(reps))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def gram_hashes_col(text_col, ngram: int, hasher: str = "xxhash64"):
     """array<long> of token-n-gram hashes — built entirely JVM-side.
 
@@ -141,6 +203,7 @@ def minhash_lsh_pairs(
     ngram: int = 3,
     threshold: float = 0.7,
     hasher: str = "xxhash64",
+    max_bucket: int = 2000,
 ) -> DataFrame:
     """Near-duplicate candidate pairs (id_a < id_b, est_jaccard ≥ threshold).
 
@@ -148,7 +211,9 @@ def minhash_lsh_pairs(
     docs sharing any band-hash become candidates (self-join on the bucket).
     est_jaccard = fraction of matching signature positions.
     ``hasher='md5_60'`` makes the signatures DuckDB-reproducible for the
-    oracle gate; ``xxhash64`` is the fast default.
+    oracle gate; ``xxhash64`` is the fast default. Buckets larger than
+    ``max_bucket`` (duplicate-heavy shards) switch to the O(n)
+    identical-signature chain path — see ``banded_candidate_pairs``.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -167,32 +232,16 @@ def minhash_lsh_pairs(
     # both sides of the bucket self-join read this — persist so the
     # shingle/signature pipeline runs once, not twice
     banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
-    left = banded.alias("a")
-    right = banded.alias("b")
-    pairs = (
-        left.join(
-            right,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.signature").alias("sig_a"),
-            F.col("b.signature").alias("sig_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    pairs = banded_candidate_pairs(banded, id_col, "signature", max_bucket)
     est = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.zip_with("signature_a", "signature_b", lambda x, y: (x == y).cast("int")),
         F.lit(0),
         lambda acc, v: acc + v,
-    ) / F.lit(float(_N_PERM_DEFAULT if n_perm is None else n_perm))
+    ) / F.lit(float(n_perm))
     return (
         pairs.withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
-        .drop("sig_a", "sig_b")
+        .drop("signature_a", "signature_b")
     )
 
 
@@ -229,7 +278,11 @@ def simhash_fingerprints(
 
 
 def simhash_near_pairs(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    max_bucket: int = 2000,
 ) -> DataFrame:
     """Pairs with Hamming(simhash) ≤ max_hamming via pigeonhole banding.
 
@@ -237,7 +290,9 @@ def simhash_near_pairs(
     bands over the 64 fingerprint bits guarantee (pigeonhole) that any pair
     with ≤ max_hamming differing bits agrees on at least one whole band, so
     recall is exact for every ``max_hamming`` ≤ 63. The exact Hamming filter
-    after the bucket join removes false positives.
+    after the bucket join removes false positives. Buckets larger than
+    ``max_bucket`` take the O(n) identical-fingerprint chain path
+    (``banded_candidate_pairs``).
     """
     if not 0 <= max_hamming <= 63:
         raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
@@ -251,26 +306,15 @@ def simhash_near_pairs(
         .alias(f"band{b}")
         for b in range(n_bands)
     ]
-    banded = fps.select(id_col, "simhash", F.posexplode(F.array(*bands)).alias("band_idx", "band_val"))
-    a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    banded = fps.select(
+        id_col, "simhash", F.posexplode(F.array(*bands)).alias("band_idx", "band_hash")
     )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return pairs.withColumn("hamming", hamming).filter(F.col("hamming") <= max_hamming).drop(
-        "sh_a", "sh_b"
+    pairs = banded_candidate_pairs(banded, id_col, "simhash", max_bucket)
+    hamming = F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .drop("simhash_a", "simhash_b")
     )
 
 

@@ -106,3 +106,42 @@ def test_cosine_near_pairs_planted_dups(spark):
     # determinism under repartitioning
     out2 = cosine_near_pairs(df.repartition(5), threshold=0.8, planes=sin_planes())
     assert {(r["id_a"], r["id_b"]) for r in out2.collect()} == pairs
+
+
+def test_duplicate_heavy_bucket_guard_is_linear(spark):
+    from geo_spark.operators.dedup import minhash_lsh_pairs, simhash_near_pairs
+
+    # 5k identical docs: all-pairs per band would be ~1.2e7 × 16 candidates;
+    # the guard's identical-signature chain emits O(n) pairs instead
+    n = 5000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same exact document text repeated verbatim here").alias("text"),
+    )
+    got = minhash_lsh_pairs(df, max_bucket=100).orderBy("id_a", "id_b")
+    rows = got.collect()
+    assert len(rows) == n - 1  # the sorted-id chain covers the clique
+    assert all(r["est_jaccard"] == 1.0 for r in rows)
+    assert rows[0]["id_a"] == 0 and rows[0]["id_b"] == 1
+
+    sh = simhash_near_pairs(df.limit(2000), max_bucket=50)
+    srows = sh.collect()
+    assert len(srows) == 1999
+    assert all(r["hamming"] == 0 for r in srows)
+
+
+def test_bucket_guard_keeps_small_bucket_semantics(spark):
+    from geo_spark.operators.dedup import minhash_lsh_pairs
+
+    # mixed corpus: results with a huge cap == results with a small cap for
+    # buckets under the cap; near-dup pair recall is unaffected
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, base + f" tail{i}") for i in range(20)]
+    rows += [(100, base), (101, base), (102, base + " x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(df, threshold=0.5).collect()}
+    b = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(df, threshold=0.5, max_bucket=100000).collect()
+    }
+    assert a == b and (100, 101) in a

@@ -50,3 +50,13 @@ def test_boundary_rules():
     assert not pts and not segs
     pts, segs = boundary(_poly(0, 0, 1, 1))
     assert not pts and len(segs) == 4
+
+
+def test_is_simple_repeated_consecutive_vertex():
+    # zero-length segments must not desynchronize the joint/closure
+    # exemptions (JTS: LINESTRING(0 0,1 1,1 1,2 2) is simple)
+    assert is_simple(_line((0, 0), (1, 1), (1, 1), (2, 2)))
+    # closed ring with a doubled vertex is still a simple closed curve
+    assert is_simple(_line((0, 0), (1, 0), (1, 0), (1, 1), (0, 1), (0, 0)))
+    # a real crossing is still caught when repeated vertices are present
+    assert not is_simple(_line((0, 0), (2, 2), (2, 2), (2, 0), (0, 2)))

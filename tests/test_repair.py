@@ -101,3 +101,23 @@ def test_snap_round_collapses_slivers():
     # snapping an already-on-grid valid polygon is the identity (area-wise)
     r = snap_round_rings([_ring((0, 0), (4, 0), (4, 4), (0, 4), (0, 0))], 1.0)
     assert overlay_area(r) == pytest.approx(16.0)
+
+
+def test_snap_round_output_vertices_on_grid():
+    from geo_spark.kernels.repair import snap_round_rings
+
+    # adversarial near-coincident bundle: many long skinny triangles whose
+    # routed edges cross at off-grid points after one pass — the iterated
+    # { node → snap → re-route } loop must leave every vertex on the grid
+    rings = [
+        _ring((0, 0), (37, 1 + 0.13 * k), (0, 2 + 0.11 * k), (0, 0))
+        for k in range(7)
+    ] + [_ring((5, -3), (11, 9.01), (17.02, -2.98), (5, -3))]
+    for scale in (1.0, 2.0):
+        out = snap_round_rings(rings, scale)
+        for poly in out:
+            for ring in [poly[0]] + list(poly[1]):
+                arr = np.asarray(ring, dtype=float) * scale
+                assert np.allclose(arr, np.round(arr), atol=0), (
+                    "off-grid vertex after snap rounding"
+                )

@@ -89,3 +89,52 @@ def test_parse_geometrycollection():
     assert parse_wkt("GEOMETRYCOLLECTION EMPTY") == ("GeometryCollection", [])
     nested = parse_wkt("GEOMETRYCOLLECTION (GEOMETRYCOLLECTION (POINT (1 1)))")
     assert nested[1][0][0] == "GeometryCollection"
+
+
+def test_ewkb_srid_flag_is_skipped():
+    # PostGIS EWKB: type word 0x20000001 (POINT | SRID flag) + SRID=4326
+    buf = struct.pack("<BIIdd", 1, 0x20000001, 4326, 1.0, 2.0)
+    kind, data = parse_wkb(buf)
+    assert kind == "Point" and data[0] == 1.0 and data[1] == 2.0
+
+
+def test_ewkb_z_m_dimensions_are_stripped():
+    # EWKB Z linestring: extra double per point must be consumed, not
+    # smeared into the next point's x
+    buf = struct.pack("<BII", 1, 0x80000002, 2) + struct.pack(
+        "<6d", 1.0, 2.0, 9.0, 3.0, 4.0, 9.5
+    )
+    kind, data = parse_wkb(buf)
+    assert kind == "LineString"
+    assert data.tolist() == [[1.0, 2.0], [3.0, 4.0]]
+    # EWKB ZM point with SRID: 0xE0000001
+    buf = struct.pack("<BIIdddd", 1, 0xE0000001, 3857, 5.0, 6.0, 1.0, 2.0)
+    kind, data = parse_wkb(buf)
+    assert kind == "Point" and data[0] == 5.0 and data[1] == 6.0
+
+
+def test_iso_wkb_1000_offset_codes():
+    # ISO/SQL-MM: 1001 = POINT Z, 2002 = LINESTRING M, 3001 = POINT ZM
+    buf = struct.pack("<BIddd", 1, 1001, 1.0, 2.0, 3.0)
+    assert parse_wkb(buf)[1].tolist() == [1.0, 2.0]
+    buf = struct.pack("<BII", 1, 2002, 2) + struct.pack("<6d", 1, 2, 0, 3, 4, 0)
+    assert parse_wkb(buf)[1].tolist() == [[1.0, 2.0], [3.0, 4.0]]
+    buf = struct.pack("<BIdddd", 1, 3001, 7.0, 8.0, 0.0, 0.0)
+    assert parse_wkb(buf)[1].tolist() == [7.0, 8.0]
+
+
+def test_geometrycollection_roundtrip():
+    gc = parse_wkt(
+        "GEOMETRYCOLLECTION(POINT(1 2),LINESTRING(0 0,1 1),"
+        "POLYGON((0 0,4 0,4 4,0 4,0 0)),"
+        "GEOMETRYCOLLECTION(POINT(9 9),MULTIPOINT((1 1),(2 2))))"
+    )
+    kind, members = parse_wkb(to_wkb(gc))
+    assert kind == "GeometryCollection" and len(members) == 4
+    assert members[0][0] == "Point" and members[0][1].tolist() == [1.0, 2.0]
+    assert members[2][0] == "Polygon"
+    nk, nm = members[3]
+    assert nk == "GeometryCollection" and len(nm) == 2
+    assert nm[1][0] == "MultiPoint"
+    # byte-exact re-encode (write is canonical little-endian)
+    assert to_wkb((kind, members)) == to_wkb(gc)
