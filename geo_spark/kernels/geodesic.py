@@ -115,8 +115,15 @@ class Geodesic:
         salp0 = salp1 * cbet1
         calp0 = math.hypot(calp1, salp1 * sbet1)
         k2 = self.ep2 * calp0 * calp0
-        sig1 = math.atan2(sbet1, cbet1 * calp1)
-        omg1 = math.atan2(salp0 * math.sin(sig1), math.cos(sig1))
+        # keep the (sin σ1, cos σ1) PAIR exact: at a pole start cos σ1 is a
+        # tiny product cβ1·cα1 whose sign/magnitude still encodes the
+        # azimuth — cos(atan2(...)) would collapse it to a constant ulp and
+        # send the geodesic down the wrong meridian
+        hyp1 = math.hypot(sbet1, cbet1 * calp1)
+        ssig1 = sbet1 / hyp1 if hyp1 > 0 else 0.0
+        csig1 = (cbet1 * calp1) / hyp1 if hyp1 > 0 else 1.0
+        sig1 = math.atan2(ssig1, csig1)
+        omg1 = math.atan2(salp0 * ssig1, csig1)
         # Newton for sigma2 on the distance integral
         sig2 = sig1 + s12 / (b * math.sqrt(1.0 + k2 * 0.5))
         for _ in range(100):
@@ -145,13 +152,19 @@ class Geodesic:
         salp0 = salp1 * cbet1
         calp0 = math.hypot(calp1, salp1 * sbet1)
         k2 = self.ep2 * calp0 * calp0
-        sig1 = math.atan2(sbet1, cbet1 * calp1)
-        omg1 = math.atan2(salp0 * math.sin(sig1), math.cos(sig1))
+        hyp1 = math.hypot(sbet1, cbet1 * calp1)
+        ssig1 = sbet1 / hyp1 if hyp1 > 0 else 0.0
+        csig1 = (cbet1 * calp1) / hyp1 if hyp1 > 0 else 1.0
+        sig1 = math.atan2(ssig1, csig1)
+        omg1 = math.atan2(salp0 * ssig1, csig1)
         # Clairaut at point 2; canonical ordering guarantees salp0 <= cbet2
         salp2 = min(salp0 / cbet2, 1.0) if cbet2 > 0 else 1.0
         calp2 = math.sqrt(max(cbet2 * cbet2 - salp0 * salp0, 0.0)) / cbet2 if cbet2 > 0 else 0.0
-        sig2 = math.atan2(sbet2, cbet2 * calp2)
-        omg2 = math.atan2(salp0 * math.sin(sig2), math.cos(sig2))
+        hyp2 = math.hypot(sbet2, cbet2 * calp2)
+        ssig2 = sbet2 / hyp2 if hyp2 > 0 else 0.0
+        csig2 = (cbet2 * calp2) / hyp2 if hyp2 > 0 else 1.0
+        sig2 = math.atan2(ssig2, csig2)
+        omg2 = math.atan2(salp0 * ssig2, csig2)
         lam12 = (omg2 - omg1) - self.f * salp0 * self._lam_integral(k2, sig1, sig2)
         return lam12, (salp0, calp0, k2, sig1, sig2, salp2, calp2)
 
@@ -330,7 +343,269 @@ class Geodesic:
         return -area, perim
 
 
+    # --- batch (numpy-vectorized) solvers -------------------------------------
+    #
+    # Same mathematics as the scalar paths above, restructured for Arrow
+    # batches: every trig/quadrature evaluation runs across the whole row
+    # block at once, and the iterative solvers (Newton on σ2, Illinois on
+    # α1) keep a converged mask so finished rows drop out of later
+    # iterations — the vincenty_distance pattern (kernels/measures.py). This
+    # removes the engine's last per-row Python hot loop (~0.55 ms/row →
+    # ~µs/row).
+
+    _N_PAN_BATCH = 4  # ≤ 3π/8 per panel for any inverse/direct σ-range
+
+    def _quad_batch(self, fn, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+        """Composite 32-node Gauss-Legendre per row, fixed panel count.
+
+        The scalar ``_quad`` sizes panels at ≤ π/4; here 4 equal panels span
+        each row's range (≤ 3π/2 for every solver call site). 32-node GL on
+        a ≤ 3π/8 panel of these analytic integrands is still converged far
+        past double precision (measured: ≤ 7e-9 m vs the π/4 rule on
+        20k-row sweeps — nanometers), at half the node count.
+        """
+        n_pan = self._N_PAN_BATCH
+        frac = np.linspace(0.0, 1.0, n_pan + 1)
+        edges = lo[:, None] + (hi - lo)[:, None] * frac[None, :]
+        mids = 0.5 * (edges[:, :-1] + edges[:, 1:])  # (n, n_pan)
+        halfs = 0.5 * (edges[:, 1:] - edges[:, :-1])
+        x = mids[:, :, None] + halfs[:, :, None] * _GL_X[None, None, :]
+        vals = fn(x)  # (n, n_pan, 32)
+        return ((vals * _GL_W[None, None, :]).sum(axis=2) * halfs).sum(axis=1)
+
+    def _dist_integral_batch(self, k2: np.ndarray, s0: np.ndarray, s1: np.ndarray):
+        return self._quad_batch(
+            lambda s: np.sqrt(1.0 + k2[:, None, None] * np.sin(s) ** 2), s0, s1
+        )
+
+    def _lam_integral_batch(self, k2: np.ndarray, s0: np.ndarray, s1: np.ndarray):
+        f = self.f
+        return self._quad_batch(
+            lambda s: (2.0 - f)
+            / (1.0 + (1.0 - f) * np.sqrt(1.0 + k2[:, None, None] * np.sin(s) ** 2)),
+            s0,
+            s1,
+        )
+
+    def _lambda_batch(self, sb1, cb1, sb2, cb2, alp1):
+        """Vectorized ``_lambda_and_geom`` over row arrays (canonical)."""
+        salp1, calp1 = np.sin(alp1), np.cos(alp1)
+        salp0 = salp1 * cb1
+        calp0 = np.hypot(calp1, salp1 * sb1)
+        k2 = self.ep2 * calp0 * calp0
+        # exact (sin σ, cos σ) pairs — see the scalar path's pole note
+        hyp1 = np.hypot(sb1, cb1 * calp1)
+        h1s = np.where(hyp1 > 0, hyp1, 1.0)
+        ssig1 = np.where(hyp1 > 0, sb1 / h1s, 0.0)
+        csig1 = np.where(hyp1 > 0, (cb1 * calp1) / h1s, 1.0)
+        sig1 = np.arctan2(ssig1, csig1)
+        omg1 = np.arctan2(salp0 * ssig1, csig1)
+        cb2s = np.where(cb2 > 0, cb2, 1.0)
+        salp2 = np.where(cb2 > 0, np.minimum(salp0 / cb2s, 1.0), 1.0)
+        calp2 = np.where(
+            cb2 > 0, np.sqrt(np.maximum(cb2 * cb2 - salp0 * salp0, 0.0)) / cb2s, 0.0
+        )
+        hyp2 = np.hypot(sb2, cb2 * calp2)
+        h2s = np.where(hyp2 > 0, hyp2, 1.0)
+        ssig2 = np.where(hyp2 > 0, sb2 / h2s, 0.0)
+        csig2 = np.where(hyp2 > 0, (cb2 * calp2) / h2s, 1.0)
+        sig2 = np.arctan2(ssig2, csig2)
+        omg2 = np.arctan2(salp0 * ssig2, csig2)
+        lam12 = (omg2 - omg1) - self.f * salp0 * self._lam_integral_batch(k2, sig1, sig2)
+        return lam12, (salp0, calp0, k2, sig1, sig2, salp2, calp2)
+
+    def inverse_batch(self, lat1, lon1, lat2, lon2):
+        """Vectorized inverse: arrays → (s12 m, azi1 deg, azi2 deg) arrays.
+
+        Same canonicalization + Illinois bracketing as ``inverse``, with a
+        per-row converged mask so each λ-quadrature only covers still-active
+        rows.
+        """
+        f, b, a_eq = self.f, self.b, self.a
+        lat1 = np.asarray(lat1, dtype=np.float64)
+        lon1 = np.asarray(lon1, dtype=np.float64)
+        lat2 = np.asarray(lat2, dtype=np.float64)
+        lon2 = np.asarray(lon2, dtype=np.float64)
+        n = lat1.shape[0]
+        lam12 = np.radians(((lon2 - lon1) + 540.0) % 360.0 - 180.0)
+        lon_sign = np.where(lam12 >= 0, 1.0, -1.0)
+        lam12 = lam12 * lon_sign
+
+        def rbeta(lat):
+            s = (1.0 - f) * np.sin(np.radians(lat))
+            c = np.cos(np.radians(lat))
+            nn = np.hypot(s, c)
+            return s / nn, np.maximum(c / nn, 1e-300)
+
+        sbet1, cbet1 = rbeta(lat1)
+        sbet2, cbet2 = rbeta(lat2)
+        swap = np.abs(np.arctan2(sbet1, cbet1)) < np.abs(np.arctan2(sbet2, cbet2))
+        sb1 = np.where(swap, sbet2, sbet1)
+        cb1 = np.where(swap, cbet2, cbet1)
+        sb2 = np.where(swap, sbet1, sbet2)
+        cb2 = np.where(swap, cbet1, cbet2)
+        lat_sign = np.where(sb1 <= 0, 1.0, -1.0)
+        sb1 = sb1 * lat_sign
+        sb2 = sb2 * lat_sign
+
+        s12 = np.zeros(n)
+        azi1 = np.zeros(n)
+        azi2 = np.zeros(n)
+
+        equatorial = (sb1 == 0.0) & (sb2 == 0.0) & (lam12 <= (1.0 - f) * math.pi)
+        sb1 = np.where(sb1 == 0.0, -1e-14, sb1)  # nudge degenerate starts
+        meridional = (lam12 == 0.0) & ~equatorial
+        general = ~equatorial & ~meridional
+
+        if equatorial.any():
+            s12[equatorial] = a_eq * lam12[equatorial]
+            azi1[equatorial] = 90.0
+            azi2[equatorial] = 90.0
+        if meridional.any():
+            m = meridional
+            k2 = np.full(int(m.sum()), self.ep2)
+            sig1 = np.arctan2(sb1[m], cb1[m])
+            sig2 = np.arctan2(sb2[m], cb2[m])
+            s12[m] = b * self._dist_integral_batch(k2, sig1, sig2)
+            # azi1 = azi2 = 0 already
+
+        if general.any():
+            gi = np.flatnonzero(general)
+            gs1, gc1, gs2, gc2 = sb1[gi], cb1[gi], sb2[gi], cb2[gi]
+            target = lam12[gi]
+            m = gi.shape[0]
+
+            def h(alp, sel):
+                lam, _ = self._lambda_batch(gs1[sel], gc1[sel], gs2[sel], gc2[sel], alp)
+                return lam - target[sel]
+
+            full = np.arange(m)
+            lo = np.full(m, 1e-15)
+            hi = np.full(m, math.pi - 1e-15)
+            flo = h(lo, full)
+            fhi = h(hi, full)
+            alp = np.where(flo > 0, lo, np.where(fhi < 0, hi, 0.5 * (lo + hi)))
+            active = ~((flo > 0) | (fhi < 0))
+            side = np.zeros(m, dtype=np.int8)
+            for _ in range(100):
+                ai = np.flatnonzero(active)
+                if ai.size == 0:
+                    break
+                denom = fhi[ai] - flo[ai]
+                safe = np.where(denom != 0, denom, 1.0)
+                cand = np.where(
+                    denom != 0,
+                    (lo[ai] * fhi[ai] - hi[ai] * flo[ai]) / safe,
+                    0.5 * (lo[ai] + hi[ai]),
+                )
+                bad = ~((lo[ai] < cand) & (cand < hi[ai]))
+                cand = np.where(bad, 0.5 * (lo[ai] + hi[ai]), cand)
+                fm = h(cand, ai)
+                alp[ai] = cand
+                conv = (np.abs(fm) < 1e-15) | ((hi[ai] - lo[ai]) < 1e-15)
+                neg = fm < 0
+                move_lo = ai[neg & ~conv]
+                move_hi = ai[~neg & ~conv]
+                # Illinois damping of the stale endpoint
+                fhi[move_lo[side[move_lo] == -1]] *= 0.5
+                flo[move_hi[side[move_hi] == 1]] *= 0.5
+                lo[move_lo] = alp[move_lo]
+                flo[move_lo] = fm[neg & ~conv]
+                side[move_lo] = -1
+                hi[move_hi] = alp[move_hi]
+                fhi[move_hi] = fm[~neg & ~conv]
+                side[move_hi] = 1
+                active[ai[conv]] = False
+            _, (salp0, calp0, k2, sig1, sig2, salp2, calp2) = self._lambda_batch(
+                gs1, gc1, gs2, gc2, alp
+            )
+            s12[gi] = b * self._dist_integral_batch(k2, sig1, sig2)
+            azi1[gi] = np.degrees(alp)
+            azi2[gi] = np.degrees(np.arctan2(salp2, calp2))
+
+        # map back through the canonical transforms (vectorized _map_back)
+        a1, a2 = azi1.copy(), azi2.copy()
+        azi1 = np.where(swap, 180.0 - a2, a1)
+        azi2 = np.where(swap, 180.0 - a1, a2)
+        azi1 = np.where(lat_sign < 0, 180.0 - azi1, azi1)
+        azi2 = np.where(lat_sign < 0, 180.0 - azi2, azi2)
+        azi1 = azi1 * lon_sign
+        azi2 = azi2 * lon_sign
+        azi1 = (azi1 + 540.0) % 360.0 - 180.0
+        azi2 = (azi2 + 540.0) % 360.0 - 180.0
+        return s12, azi1, azi2
+
+    def direct_batch(self, lat1, lon1, azi1, s12):
+        """Vectorized direct: arrays → (lat2, lon2, azi2) arrays (Newton on
+        σ2 with a converged mask)."""
+        f, b = self.f, self.b
+        lat1 = np.asarray(lat1, dtype=np.float64)
+        lon1 = np.asarray(lon1, dtype=np.float64)
+        azi1 = np.asarray(azi1, dtype=np.float64)
+        s12 = np.asarray(s12, dtype=np.float64)
+        phi1 = np.radians(lat1)
+        alp1 = np.radians(azi1)
+        sbet1 = (1.0 - f) * np.sin(phi1)
+        cbet1 = np.cos(phi1)
+        norm = np.hypot(sbet1, cbet1)
+        sbet1, cbet1 = sbet1 / norm, cbet1 / norm
+        salp1, calp1 = np.sin(alp1), np.cos(alp1)
+        salp0 = salp1 * cbet1
+        calp0 = np.hypot(calp1, salp1 * sbet1)
+        k2 = self.ep2 * calp0 * calp0
+        hyp1 = np.hypot(sbet1, cbet1 * calp1)
+        h1s = np.where(hyp1 > 0, hyp1, 1.0)
+        ssig1 = np.where(hyp1 > 0, sbet1 / h1s, 0.0)
+        csig1 = np.where(hyp1 > 0, (cbet1 * calp1) / h1s, 1.0)
+        sig1 = np.arctan2(ssig1, csig1)
+        omg1 = np.arctan2(salp0 * ssig1, csig1)
+        sig2 = sig1 + s12 / (b * np.sqrt(1.0 + k2 * 0.5))
+        active = np.ones(sig2.shape[0], dtype=bool)
+        for _ in range(100):
+            ai = np.flatnonzero(active)
+            if ai.size == 0:
+                break
+            g = b * self._dist_integral_batch(k2[ai], sig1[ai], sig2[ai]) - s12[ai]
+            dg = b * np.sqrt(1.0 + k2[ai] * np.sin(sig2[ai]) ** 2)
+            step = g / dg
+            sig2[ai] -= step
+            active[ai[np.abs(step) < 1e-15]] = False
+        ssig2, csig2 = np.sin(sig2), np.cos(sig2)
+        sbet2 = calp0 * ssig2
+        cbet2 = np.hypot(salp0, calp0 * csig2)
+        phi2 = np.arctan2(sbet2, (1.0 - f) * cbet2)
+        omg2 = np.arctan2(salp0 * ssig2, csig2)
+        lam12 = (omg2 - omg1) - f * salp0 * self._lam_integral_batch(k2, sig1, sig2)
+        lon2 = lon1 + np.degrees(lam12)
+        lon2 = (lon2 + 540.0) % 360.0 - 180.0
+        alp2 = np.arctan2(salp0, calp0 * csig2)
+        return np.degrees(phi2), lon2, np.degrees(alp2)
+
+
 WGS84 = Geodesic()
+
+_BATCH_BLOCK = 2048  # rows per vectorized block (keeps GL-node temporaries ~4 MB)
+
+
+def _blocked(fn, *arrays):
+    """Apply a batch solver in fixed-size row blocks, concatenating results."""
+    n = arrays[0].shape[0]
+    if n == 0:
+        return tuple(np.empty(0) for _ in range(3))
+    outs = [fn(*(a[i : i + _BATCH_BLOCK] for a in arrays)) for i in range(0, n, _BATCH_BLOCK)]
+    return tuple(np.concatenate(parts) for parts in zip(*outs))
+
+
+def geodesic_inverse_batch(lat1, lon1, lat2, lon2):
+    """(s12, azi1, azi2) arrays — WGS84, blocked numpy batches."""
+    arrs = [np.ascontiguousarray(x, dtype=np.float64) for x in (lat1, lon1, lat2, lon2)]
+    return _blocked(WGS84.inverse_batch, *arrs)
+
+
+def geodesic_direct_batch(lat1, lon1, azi1, s12):
+    """(lat2, lon2, azi2) arrays — WGS84, blocked numpy batches."""
+    arrs = [np.ascontiguousarray(x, dtype=np.float64) for x in (lat1, lon1, azi1, s12)]
+    return _blocked(WGS84.direct_batch, *arrs)
 
 
 def geodesic_inverse(lat1, lon1, lat2, lon2):

@@ -24,12 +24,12 @@ def geodesic_meters(lon1, lat1, lon2, lat2) -> Column:
 
     @F.pandas_udf(T.DoubleType())
     def udf(a: pd.Series, b: pd.Series, c: pd.Series, d: pd.Series) -> pd.Series:
-        from geo_spark.kernels.geodesic import WGS84
+        from geo_spark.kernels.geodesic import geodesic_inverse_batch
 
-        out = np.empty(len(a), dtype=np.float64)
-        for i in range(len(a)):
-            out[i] = WGS84.inverse(b.iloc[i], a.iloc[i], d.iloc[i], c.iloc[i])[0]
-        return pd.Series(out)
+        s12, _, _ = geodesic_inverse_batch(
+            b.to_numpy(), a.to_numpy(), d.to_numpy(), c.to_numpy()
+        )
+        return pd.Series(s12)
 
     return udf(*cols)
 
@@ -40,12 +40,12 @@ def geodesic_bearing_deg(lon1, lat1, lon2, lat2) -> Column:
 
     @F.pandas_udf(T.DoubleType())
     def udf(a: pd.Series, b: pd.Series, c: pd.Series, d: pd.Series) -> pd.Series:
-        from geo_spark.kernels.geodesic import WGS84
+        from geo_spark.kernels.geodesic import geodesic_inverse_batch
 
-        out = np.empty(len(a), dtype=np.float64)
-        for i in range(len(a)):
-            out[i] = (WGS84.inverse(b.iloc[i], a.iloc[i], d.iloc[i], c.iloc[i])[1] + 360.0) % 360.0
-        return pd.Series(out)
+        _, azi1, _ = geodesic_inverse_batch(
+            b.to_numpy(), a.to_numpy(), d.to_numpy(), c.to_numpy()
+        )
+        return pd.Series((azi1 + 360.0) % 360.0)
 
     return udf(*cols)
 
@@ -56,14 +56,12 @@ def geodesic_destination(lon, lat, bearing_deg, dist_m) -> Column:
 
     @F.pandas_udf("struct<lon:double,lat:double>")
     def udf(a: pd.Series, b: pd.Series, c: pd.Series, d: pd.Series) -> pd.DataFrame:
-        from geo_spark.kernels.geodesic import WGS84
+        from geo_spark.kernels.geodesic import geodesic_direct_batch
 
-        lons = np.empty(len(a), dtype=np.float64)
-        lats = np.empty(len(a), dtype=np.float64)
-        for i in range(len(a)):
-            lat2, lon2, _ = WGS84.direct(b.iloc[i], a.iloc[i], c.iloc[i], d.iloc[i])
-            lons[i], lats[i] = lon2, lat2
-        return pd.DataFrame({"lon": lons, "lat": lats})
+        lat2, lon2, _ = geodesic_direct_batch(
+            b.to_numpy(), a.to_numpy(), c.to_numpy(), d.to_numpy()
+        )
+        return pd.DataFrame({"lon": lon2, "lat": lat2})
 
     return udf(*cols)
 

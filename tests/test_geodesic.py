@@ -162,3 +162,77 @@ def test_interpolate_point_goldens():
     assert (lon, lat) == pytest.approx((19.52, 25.31), abs=1e-2)
     lon, lat = geodesic_point_at_ratio(20, 10, 25, 125, 0.9)
     assert (lon, lat) == pytest.approx((114.73, 29.69), abs=1e-2)
+
+
+def test_batch_solvers_match_scalar():
+    import numpy as np
+
+    from geo_spark.kernels.geodesic import (
+        WGS84,
+        geodesic_direct_batch,
+        geodesic_inverse_batch,
+    )
+
+    rng = np.random.RandomState(7)
+    lat1 = rng.uniform(-89.9, 89.9, 400)
+    lon1 = rng.uniform(-180, 180, 400)
+    lat2 = rng.uniform(-89.9, 89.9, 400)
+    lon2 = rng.uniform(-180, 180, 400)
+    special = [
+        (-30.0, 10.0, 30.0, -170.0),   # near-antipodal
+        (0.0, 0.0, 0.0, 179.7),        # antipodal equatorial
+        (10.0, 20.0, 10.0, 20.0),      # coincident
+        (0.0, 0.0, 0.0, 90.0),         # equatorial
+        (10.0, 5.0, -40.0, 5.0),       # meridional
+        (90.0, 0.0, -90.0, 0.0),       # pole to pole
+        (90.0, 10.0, 45.0, 10.0),      # from the pole
+        (0.0, -180.0, 0.0, 180.0),     # dateline
+    ]
+    for t in special:
+        lat1 = np.append(lat1, t[0]); lon1 = np.append(lon1, t[1])
+        lat2 = np.append(lat2, t[2]); lon2 = np.append(lon2, t[3])
+    s, a1, a2 = geodesic_inverse_batch(lat1, lon1, lat2, lon2)
+    for i in range(len(lat1)):
+        ss, sa1, sa2 = WGS84.inverse(lat1[i], lon1[i], lat2[i], lon2[i])
+        assert abs(ss - s[i]) < 1e-6 + 1e-12 * abs(ss)
+        assert abs(sa1 - a1[i]) < 1e-6 and abs(sa2 - a2[i]) < 1e-6
+
+    azi = rng.uniform(-180, 180, len(lat1))
+    dist = rng.uniform(0, 19_000_000, len(lat1))
+    blat, blon, bazi = geodesic_direct_batch(lat1, lon1, azi, dist)
+    for i in range(len(lat1)):
+        sl, so, sz = WGS84.direct(lat1[i], lon1[i], azi[i], dist[i])
+        assert abs(sl - blat[i]) < 1e-9 and abs(so - blon[i]) < 1e-9
+        assert abs(sz - bazi[i]) < 1e-9
+
+
+def test_direct_from_pole_descends_correct_meridian():
+    # at the north pole the geodesic with azimuth a descends the
+    # lon1 + 180 - a meridian (geographiclib convention); the exact
+    # (sin s1, cos s1) pair keeps the azimuth from collapsing to noise
+    import numpy as np
+
+    from geo_spark.kernels.geodesic import WGS84, geodesic_direct_batch
+
+    lat, lon, _ = WGS84.direct(90.0, 0.0, 30.0, 3_000_000.0)
+    assert abs(lon - 150.0) < 1e-9
+    lat_b, lon_b, _ = geodesic_direct_batch([90.0], [0.0], [30.0], [3_000_000.0])
+    assert abs(lon_b[0] - 150.0) < 1e-9
+    assert abs(lat_b[0] - lat) < 1e-12
+
+
+def test_inverse_direct_roundtrip_batch():
+    # direct(p1, inverse(p1, p2)) == p2 — the invariant the driver oracle
+    # checks for geodesic_roundtrip
+    import numpy as np
+
+    from geo_spark.kernels.geodesic import geodesic_direct_batch, geodesic_inverse_batch
+
+    rng = np.random.RandomState(3)
+    lat1 = rng.uniform(-80, 80, 300); lon1 = rng.uniform(-180, 180, 300)
+    lat2 = rng.uniform(-80, 80, 300); lon2 = rng.uniform(-180, 180, 300)
+    s, a1, _ = geodesic_inverse_batch(lat1, lon1, lat2, lon2)
+    rlat, rlon, _ = geodesic_direct_batch(lat1, lon1, a1, s)
+    assert np.max(np.abs(rlat - lat2)) < 1e-9
+    dlon = np.minimum(np.abs(rlon - lon2), 360 - np.abs(rlon - lon2))
+    assert np.max(dlon * np.cos(np.radians(lat2))) < 1e-9
