@@ -718,6 +718,848 @@ def _embed_near_oracle_sql() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# closed-form-oracle queries for the remaining SURVEY-§2 operator families
+# (round 3): deterministic synthetic shapes derived from doc_id with
+# analytically known outputs, so DuckDB can verify every family end-to-end.
+# Shared params: a = 1 + doc_id%7, b = 1 + doc_id%5, c = b + 1.
+# ---------------------------------------------------------------------------
+
+_TRAPEZOID = (
+    "array(struct(0.0d AS x, 0.0d AS y), struct(a AS x, 0.0d AS y), "
+    "struct(a AS x, b AS y), struct(0.0d AS x, c AS y), "
+    "struct(0.0d AS x, 0.0d AS y))"
+)
+
+
+def _abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        "CAST(1 + doc_id % 7 AS DOUBLE) AS a",
+        "CAST(1 + doc_id % 5 AS DOUBLE) AS b",
+        "CAST(2 + doc_id % 5 AS DOUBLE) AS c",
+    )
+
+
+def _q_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # polygon centroid (shoelace moments, centroid.rs:36) of a trapezoid
+    # (0,0)(a,0)(a,b)(0,c) — closed form Cx=a(2b+c)/(3(b+c)), Cy=(b²+c(b+c))/(3(b+c))
+    from geo_spark.operators.scalar import centroid
+
+    df = _abc(spark, sf_dir).withColumn("ring", F.expr(_TRAPEZOID))
+    cen = centroid(F.col("ring"), kind="polygon")
+    return df.select(
+        "doc_id",
+        F.round(cen["x"], 9).alias("cx"),
+        F.round(cen["y"], 9).alias("cy"),
+    )
+
+
+def _zigzag_jitter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # zigzag (i, amp·(i%2)) i=0..m (amp ≥ 4: every vertex survives eps=1
+    # simplification) and a straight line with ±1/16 interior jitter (every
+    # interior vertex is dropped) — the two closed-form extremes
+    return _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        "5 + doc_id % 5 AS m",
+        "CAST(4 + doc_id % 5 AS DOUBLE) AS amp",
+    ).selectExpr(
+        "doc_id",
+        "m",
+        "amp",
+        "transform(sequence(0, m), i -> struct(CAST(i AS DOUBLE) AS x, "
+        "amp * CAST(i % 2 AS DOUBLE) AS y)) AS zigzag",
+        "transform(sequence(0, m), i -> struct(CAST(i AS DOUBLE) AS x, "
+        "CASE WHEN i = 0 OR i = m THEN 0.0d WHEN i % 2 = 1 THEN 0.0625d "
+        "ELSE -0.0625d END AS y)) AS jitter",
+    )
+
+
+def _q_simplify_rdp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_spark.operators.scalar import simplify_rdp
+
+    df = _zigzag_jitter(spark, sf_dir)
+    zz = simplify_rdp(F.col("zigzag"), 1.0)
+    jt = simplify_rdp(F.col("jitter"), 1.0)
+    return df.select(
+        "doc_id",
+        F.size(zz).alias("n_zigzag"),
+        F.aggregate(zz, F.lit(0.0), lambda acc, p: acc + p["x"]).alias("zz_sum_x"),
+        F.aggregate(zz, F.lit(0.0), lambda acc, p: acc + p["y"]).alias("zz_sum_y"),
+        F.size(jt).alias("n_jitter"),
+        F.aggregate(jt, F.lit(0.0), lambda acc, p: acc + p["x"]).alias("jt_sum_x"),
+    )
+
+
+def _q_simplify_vw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_spark.operators.scalar import simplify_vw
+
+    df = _zigzag_jitter(spark, sf_dir)
+    zz = simplify_vw(F.col("zigzag"), 1.0)
+    jt = simplify_vw(F.col("jitter"), 1.0)
+    return df.select(
+        "doc_id",
+        F.size(zz).alias("n_zigzag"),
+        F.aggregate(zz, F.lit(0.0), lambda acc, p: acc + p["x"]).alias("zz_sum_x"),
+        F.aggregate(zz, F.lit(0.0), lambda acc, p: acc + p["y"]).alias("zz_sum_y"),
+        F.size(jt).alias("n_jitter"),
+        F.aggregate(jt, F.lit(0.0), lambda acc, p: acc + p["x"]).alias("jt_sum_x"),
+    )
+
+
+_SIMPLIFY_ORACLE = """
+    WITH p AS (
+      SELECT doc_id, 5 + doc_id % 5 AS m, CAST(4 + doc_id % 5 AS DOUBLE) AS amp
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(m + 1 AS INT) AS n_zigzag,
+           CAST(m * (m + 1) / 2 AS DOUBLE) AS zz_sum_x,
+           amp * CAST((m + 1) // 2 AS DOUBLE) AS zz_sum_y,
+           2 AS n_jitter,
+           CAST(m AS DOUBLE) AS jt_sum_x
+    FROM p
+"""
+
+
+def _lshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _abc(spark, sf_dir).selectExpr(
+        "doc_id",
+        "a",
+        "b",
+        "array(struct(0.0d AS x, 0.0d AS y), struct(a AS x, 0.0d AS y), "
+        "struct(a AS x, b AS y)) AS line",
+    )
+
+
+def _q_line_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # densify / interpolate / locate / substring over an L-shaped polyline
+    # (0,0)→(a,0)→(a,b): every output is a closed-form function of (a, b)
+    # (line_measures/densify.rs:60, substring.rs:46, line_locate_point.rs:38)
+    from geo_spark.operators.scalar import (
+        densify,
+        interpolate_point,
+        locate_point,
+        substring_line,
+    )
+
+    df = _lshape(spark, sf_dir)
+    dn = densify(F.col("line"), 0.75)
+    ip = interpolate_point(F.col("line"), 0.25)
+    loc = locate_point(
+        F.col("line"), F.col("a") + 0.5, F.col("b") / 2.0
+    )
+    sub = substring_line(F.col("line"), 0.25, 0.75)
+    return df.select(
+        "doc_id",
+        F.size(dn).alias("n_densified"),
+        F.round(
+            F.aggregate(dn, F.lit(0.0), lambda acc, p: acc + p["x"]), 9
+        ).alias("dens_sum_x"),
+        F.round(ip["x"], 9).alias("interp_x"),
+        F.round(ip["y"], 9).alias("interp_y"),
+        F.round(loc, 12).alias("locate_frac"),
+        F.size(sub).alias("n_substring"),
+        F.round(F.element_at(sub, 1)["x"], 9).alias("sub_x0"),
+        F.round(F.element_at(sub, 1)["y"], 9).alias("sub_y0"),
+        F.round(F.element_at(sub, -1)["x"], 9).alias("sub_x1"),
+        F.round(F.element_at(sub, -1)["y"], 9).alias("sub_y1"),
+    )
+
+
+_LINE_MEASURES_ORACLE = """
+    WITH p AS (
+      SELECT doc_id, CAST(1 + doc_id % 7 AS DOUBLE) AS a,
+             CAST(1 + doc_id % 5 AS DOUBLE) AS b
+      FROM documents
+    ),
+    d AS (
+      SELECT doc_id, a, b,
+             CAST(CEIL(a / 0.75) AS BIGINT) AS n1,
+             CAST(CEIL(b / 0.75) AS BIGINT) AS n2,
+             0.25 * (a + b) AS t25, 0.75 * (a + b) AS t75
+      FROM p
+    )
+    SELECT doc_id,
+           CAST(1 + n1 + n2 AS INT) AS n_densified,
+           ROUND(list_sum(list_transform(range(0, CAST(n1 + 1 AS INT)),
+                   k -> a * (CAST(k AS DOUBLE) / n1))) + a * n2, 9) AS dens_sum_x,
+           ROUND(CASE WHEN t25 <= a THEN (t25 / a) * a ELSE a END, 9) AS interp_x,
+           ROUND(CASE WHEN t25 <= a THEN 0.0 ELSE ((t25 - a) / b) * b END, 9) AS interp_y,
+           ROUND((a + 0.5 * b) / (a + b), 12) AS locate_frac,
+           CAST(CASE WHEN a / (a + b) > 0.25 AND a / (a + b) < 0.75
+                THEN 3 ELSE 2 END AS INT) AS n_substring,
+           ROUND(CASE WHEN t25 <= a THEN (t25 / a) * a ELSE a END, 9) AS sub_x0,
+           ROUND(CASE WHEN t25 <= a THEN 0.0 ELSE ((t25 - a) / b) * b END, 9) AS sub_y0,
+           ROUND(CASE WHEN t75 <= a THEN (t75 / a) * a ELSE a END, 9) AS sub_x1,
+           ROUND(CASE WHEN t75 <= a THEN 0.0 ELSE ((t75 - a) / b) * b END, 9) AS sub_y1
+    FROM d
+"""
+
+
+def _affine_matrices():
+    import numpy as np
+
+    from geo_spark.kernels import affine as AF
+
+    M = AF.compose(
+        AF.translate(1.5, -2.25),
+        AF.compose(
+            AF.rotate(30.0, origin=(1.0, 1.0)),
+            AF.compose(AF.scale(1.25, 0.75, origin=(0.5, 0.0)), AF.skew(10.0, 5.0)),
+        ),
+    )
+    Minv = np.linalg.inv(np.vstack([M, [0.0, 0.0, 1.0]]))[:2, :]
+    return M, Minv
+
+
+def _q_affine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # translate∘rotate∘scale∘skew composition (affine_ops.rs:36) applied as
+    # pure SQL; the oracle applies the identical 6 literals row-wise, and
+    # `rt_ok` checks the inverse matrix recovers the original vertices
+    from geo_spark.operators.scalar import affine_transform_sql
+
+    M, Minv = _affine_matrices()
+    df = _abc(spark, sf_dir).withColumn("ring", F.expr(_TRAPEZOID))
+    fwd = affine_transform_sql(F.col("ring"), M)
+    back = affine_transform_sql(fwd, Minv)
+    rt_ok = F.aggregate(
+        F.zip_with(
+            F.col("ring"),
+            back,
+            lambda p, q: F.greatest(F.abs(p["x"] - q["x"]), F.abs(p["y"] - q["y"])),
+        ),
+        F.lit(0.0),
+        lambda acc, v: F.greatest(acc, v),
+    ) < 1e-9
+    return (
+        df.withColumn("t", fwd)
+        .withColumn("rt_ok", rt_ok)
+        .select(
+            "doc_id",
+            "rt_ok",
+            F.posexplode(F.col("t")).alias("vertex_idx", "v"),
+        )
+        .select(
+            "doc_id",
+            "vertex_idx",
+            F.round(F.col("v.x"), 9).alias("tx"),
+            F.round(F.col("v.y"), 9).alias("ty"),
+            "rt_ok",
+        )
+    )
+
+
+def _affine_oracle_sql() -> str:
+    M, _ = _affine_matrices()
+    (a_, b_, xo), (d_, e_, yo) = M.tolist()
+    return f"""
+        WITH p AS (
+          SELECT doc_id, CAST(1 + doc_id % 7 AS DOUBLE) AS a,
+                 CAST(1 + doc_id % 5 AS DOUBLE) AS b,
+                 CAST(2 + doc_id % 5 AS DOUBLE) AS c
+          FROM documents
+        ),
+        v AS (
+          SELECT doc_id, vertex_idx,
+                 CASE vertex_idx WHEN 0 THEN 0.0 WHEN 1 THEN a WHEN 2 THEN a
+                                 WHEN 3 THEN 0.0 ELSE 0.0 END AS x,
+                 CASE vertex_idx WHEN 0 THEN 0.0 WHEN 1 THEN 0.0 WHEN 2 THEN b
+                                 WHEN 3 THEN c ELSE 0.0 END AS y
+          FROM p, (SELECT CAST(UNNEST(range(0, 5)) AS INT) AS vertex_idx)
+        )
+        SELECT doc_id, vertex_idx,
+               ROUND({a_!r} * x + {b_!r} * y + {xo!r}, 9) AS tx,
+               ROUND({d_!r} * x + {e_!r} * y + {yo!r}, 9) AS ty,
+               TRUE AS rt_ok
+        FROM v
+    """
+
+
+def _q_hausdorff_frechet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # discrete Fréchet (frechet_distance.rs:13) of a zigzag vs its integer
+    # translate is exactly |t| (every coupling starts at (a0,b0));
+    # Hausdorff (hausdorff_distance.rs:14) is brute-forced by the oracle
+    from geo_spark.operators.scalar import frechet, hausdorff
+
+    df = _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        "5 + doc_id % 5 AS m",
+        "CAST(4 + doc_id % 5 AS DOUBLE) AS amp",
+        "CAST(3 + doc_id % 4 AS DOUBLE) AS tx",
+        "CAST(2 + doc_id % 3 AS DOUBLE) AS ty",
+    ).selectExpr(
+        "doc_id",
+        "transform(sequence(0, m), i -> struct(CAST(i AS DOUBLE) AS x, "
+        "amp * CAST(i % 2 AS DOUBLE) AS y)) AS la",
+        "transform(sequence(0, m), i -> struct(CAST(i AS DOUBLE) + tx AS x, "
+        "amp * CAST(i % 2 AS DOUBLE) + ty AS y)) AS lb",
+    )
+    return df.select(
+        "doc_id",
+        F.round(frechet(F.col("la"), F.col("lb")), 9).alias("frechet_d"),
+        F.round(hausdorff(F.col("la"), F.col("lb")), 9).alias("hausdorff_d"),
+    )
+
+
+_HAUSDORFF_ORACLE = """
+    WITH p AS (
+      SELECT doc_id, 5 + doc_id % 5 AS m, CAST(4 + doc_id % 5 AS DOUBLE) AS amp,
+             CAST(3 + doc_id % 4 AS DOUBLE) AS tx, CAST(2 + doc_id % 3 AS DOUBLE) AS ty
+      FROM documents
+    ),
+    l AS (
+      SELECT doc_id, tx, ty,
+             list_transform(range(0, CAST(m + 1 AS INT)),
+               i -> struct_pack(x := CAST(i AS DOUBLE),
+                                y := amp * CAST(i % 2 AS DOUBLE))) AS la,
+             list_transform(range(0, CAST(m + 1 AS INT)),
+               i -> struct_pack(x := CAST(i AS DOUBLE) + tx,
+                                y := amp * CAST(i % 2 AS DOUBLE) + ty)) AS lb
+      FROM p
+    )
+    SELECT doc_id,
+           ROUND(SQRT(tx * tx + ty * ty), 9) AS frechet_d,
+           ROUND(GREATEST(
+             list_max(list_transform(la, pa -> list_min(list_transform(lb,
+               pb -> SQRT((pa.x - pb.x) * (pa.x - pb.x) + (pa.y - pb.y) * (pa.y - pb.y)))))),
+             list_max(list_transform(lb, pb -> list_min(list_transform(la,
+               pa -> SQRT((pa.x - pb.x) * (pa.x - pb.x) + (pa.y - pb.y) * (pa.y - pb.y))))))
+           ), 9) AS hausdorff_d
+    FROM l
+"""
+
+
+def _q_geometry_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Euclidean geometry-pair distance (metric_spaces/euclidean.rs) across
+    # kind pairs: polygon–polygon, point–polygon, line–line — all gaps are
+    # closed-form functions of integer offsets
+    from geo_spark.operators.scalar import geometry_distance_cols
+
+    df = _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        "doc_id % 3 AS kind_sel",
+        "CAST(3 + doc_id % 5 AS DOUBLE) AS dx",
+        "CAST(doc_id % 7 - 3 AS DOUBLE) AS dy",
+        "CAST(doc_id % 3 AS DOUBLE) + 1.5 AS pxa",
+        "CAST(5 + doc_id % 3 AS DOUBLE) AS x0",
+        "CAST(1 + doc_id % 2 AS DOUBLE) AS h",
+    )
+    sq = (
+        "array(struct(0.0d AS x, 0.0d AS y), struct(2.0d AS x, 0.0d AS y), "
+        "struct(2.0d AS x, 2.0d AS y), struct(0.0d AS x, 2.0d AS y), "
+        "struct(0.0d AS x, 0.0d AS y))"
+    )
+    df = df.selectExpr(
+        "doc_id",
+        "kind_sel",
+        "dx",
+        "dy",
+        "CASE WHEN kind_sel = 0 THEN 'Polygon' WHEN kind_sel = 1 THEN 'Point' "
+        "ELSE 'LineString' END AS kind_a",
+        f"CASE WHEN kind_sel = 0 THEN {sq} "
+        "WHEN kind_sel = 1 THEN array(struct(-pxa AS x, 0.5d AS y)) "
+        "ELSE array(struct(0.0d AS x, 0.0d AS y), struct(4.0d AS x, 0.0d AS y)) END AS ca",
+        "CASE WHEN kind_sel = 2 THEN 'LineString' ELSE 'Polygon' END AS kind_b",
+        f"CASE WHEN kind_sel = 0 THEN transform({sq}, p -> struct(p.x + dx AS x, p.y + dy AS y)) "
+        f"WHEN kind_sel = 1 THEN {sq} "
+        "ELSE array(struct(x0 AS x, h AS y), struct(x0 + 4.0d AS x, h AS y)) END AS cb",
+    )
+    return df.select(
+        "doc_id",
+        F.col("kind_sel").cast("int").alias("kind_sel"),
+        F.round(
+            geometry_distance_cols(
+                F.col("kind_a"), F.col("ca"), F.col("kind_b"), F.col("cb")
+            ),
+            9,
+        ).alias("dist"),
+    )
+
+
+_GEOM_DIST_ORACLE = """
+    WITH p AS (
+      SELECT doc_id, doc_id % 3 AS kind_sel,
+             CAST(3 + doc_id % 5 AS DOUBLE) AS dx,
+             CAST(doc_id % 7 - 3 AS DOUBLE) AS dy,
+             CAST(doc_id % 3 AS DOUBLE) + 1.5 AS pxa,
+             CAST(5 + doc_id % 3 AS DOUBLE) AS x0,
+             CAST(1 + doc_id % 2 AS DOUBLE) AS h
+      FROM documents
+    )
+    SELECT doc_id, CAST(kind_sel AS INT) AS kind_sel,
+           ROUND(CASE
+             WHEN kind_sel = 0 THEN SQRT((dx - 2) * (dx - 2) +
+               (CASE WHEN dy > 2 THEN dy - 2 WHEN dy < -2 THEN -2 - dy ELSE 0 END)
+               * (CASE WHEN dy > 2 THEN dy - 2 WHEN dy < -2 THEN -2 - dy ELSE 0 END))
+             WHEN kind_sel = 1 THEN pxa
+             ELSE SQRT((x0 - 4) * (x0 - 4) + h * h)
+           END, 9) AS dist
+    FROM p
+"""
+
+
+def _q_triangulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Delaunay (triangulate_delaunay.rs:116) + StitchTriangles (stitch.rs:25)
+    # on an n×m integer grid: 2(n−1)(m−1) triangles stitching to one piece of
+    # area (n−1)(m−1); earcut (triangulate_earcut) on the trapezoid ring
+    from geo_spark.operators.dedup import ensure_parallelism
+    from geo_spark.operators.geometry2 import delaunay_stitch_stats, triangulate
+
+    df = ensure_parallelism(_abc(spark, sf_dir)).selectExpr(
+        "doc_id",
+        "a",
+        "b",
+        "c",
+        "3 + doc_id % 3 AS gn",
+        "3 + doc_id % 2 AS gm",
+    )
+    df = df.selectExpr(
+        "doc_id",
+        "a",
+        "b",
+        "c",
+        "flatten(transform(sequence(0, gn - 1), i -> transform(sequence(0, gm - 1), "
+        "j -> struct(CAST(i AS DOUBLE) AS x, CAST(j AS DOUBLE) AS y)))) AS grid",
+    )
+    st = delaunay_stitch_stats(F.col("grid"))
+    ear = triangulate(F.expr(_TRAPEZOID))
+    return df.select(
+        "doc_id",
+        st["n_tri"].alias("n_delaunay_tri"),
+        st["n_pieces"].alias("n_stitched"),
+        F.round(st["area"], 9).alias("stitched_area"),
+        F.size(ear).alias("n_earcut_tri"),
+    )
+
+
+_TRIANGULATE_ORACLE = """
+    SELECT doc_id,
+           CAST(2 * (3 + doc_id % 3 - 1) * (3 + doc_id % 2 - 1) AS INT) AS n_delaunay_tri,
+           1 AS n_stitched,
+           CAST((3 + doc_id % 3 - 1) * (3 + doc_id % 2 - 1) AS DOUBLE) AS stitched_area,
+           2 AS n_earcut_tri
+    FROM documents
+"""
+
+
+def _q_unary_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # n-way union (bool_ops/mod.rs:259): k overlapping 3×3 squares at x=2i
+    # merge into one strip of area 6k+3, plus one disjoint unit square
+    from geo_spark.operators.dedup import ensure_parallelism
+    from geo_spark.operators.geometry2 import unary_union_rings
+
+    df = ensure_parallelism(_docs(spark, sf_dir)).selectExpr(
+        "doc_id", "2 + doc_id % 4 AS k"
+    )
+    df = df.selectExpr(
+        "doc_id",
+        "k",
+        "concat(transform(sequence(0, k - 1), i -> array("
+        "struct(CAST(2 * i AS DOUBLE) AS x, 0.0d AS y), "
+        "struct(CAST(2 * i + 3 AS DOUBLE) AS x, 0.0d AS y), "
+        "struct(CAST(2 * i + 3 AS DOUBLE) AS x, 3.0d AS y), "
+        "struct(CAST(2 * i AS DOUBLE) AS x, 3.0d AS y), "
+        "struct(CAST(2 * i AS DOUBLE) AS x, 0.0d AS y))), "
+        "array(array(struct(100.0d AS x, 0.0d AS y), struct(101.0d AS x, 0.0d AS y), "
+        "struct(101.0d AS x, 1.0d AS y), struct(100.0d AS x, 1.0d AS y), "
+        "struct(100.0d AS x, 0.0d AS y)))) AS rings",
+    )
+    u = unary_union_rings(F.col("rings"))
+    return df.select(
+        "doc_id",
+        u["n_pieces"].alias("n_pieces"),
+        F.round(u["area"], 9).alias("union_area"),
+    )
+
+
+_UNION_ORACLE = """
+    SELECT doc_id, 2 AS n_pieces,
+           CAST(6 * (2 + doc_id % 4) + 4 AS DOUBLE) AS union_area
+    FROM documents
+"""
+
+
+def _q_closest_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ClosestPoint kinds (closest_point.rs): probe off the L-line projects
+    # onto the vertical arm ('single'); probe on the line → 'intersection'
+    from geo_spark.operators.scalar import closest_point_col
+
+    df = _lshape(spark, sf_dir)
+    off = closest_point_col(F.col("line"), F.col("a") + 0.5, F.col("b") / 2.0)
+    on = closest_point_col(F.col("line"), F.col("a"), F.col("b") / 2.0)
+    return df.select(
+        "doc_id",
+        off["kind"].alias("kind_off"),
+        F.round(off["x"], 9).alias("qx"),
+        F.round(off["y"], 9).alias("qy"),
+        on["kind"].alias("kind_on"),
+    )
+
+
+_CLOSEST_ORACLE = """
+    WITH p AS (
+      SELECT doc_id, CAST(1 + doc_id % 7 AS DOUBLE) AS a,
+             CAST(1 + doc_id % 5 AS DOUBLE) AS b
+      FROM documents
+    )
+    SELECT doc_id, 'single' AS kind_off,
+           ROUND(a, 9) AS qx, ROUND(0.5 * b, 9) AS qy,
+           'intersection' AS kind_on
+    FROM p
+"""
+
+
+def _q_concave_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # concaveman-style concave hull (concave_hull.rs:104): at concavity=∞
+    # the dig decision d·concavity < edge_len is never true (inf or nan on
+    # the left), so the ring is exactly the convex hull — verified against
+    # the extreme-point oracle (same characterization as hull_by_lang)
+    from geo_spark.operators.geometry2 import concave_hull_points
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    pts = _derived_points(spark, sf_dir).join(docs, "doc_id")
+    lang_id = (
+        F.ascii(F.substring("lang", 1, 1)) * 256 + F.ascii(F.substring("lang", 2, 1))
+    ).cast("long")
+    grouped = pts.groupBy(lang_id.alias("lang_id")).agg(
+        F.collect_list(F.struct(F.col("lon").alias("x"), F.col("lat").alias("y"))).alias(
+            "pts"
+        )
+    )
+    hull = concave_hull_points(F.col("pts"), concavity=float("inf"))
+    verts = grouped.select(
+        "lang_id",
+        F.explode(
+            F.slice(hull, F.lit(1), F.greatest(F.size(hull) - 1, F.lit(0)))
+        ).alias("v"),
+    )
+    return verts.select("lang_id", F.col("v.x").alias("x"), F.col("v.y").alias("y"))
+
+
+def _q_wkb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # WKB encode→decode round-trip over the admin polygons (geometry/wkb.py):
+    # byte length, vertex count and coordinate sums are closed-form; `ok`
+    # asserts byte-exact coordinate recovery
+    from geo_spark.geometry.wkb import polygon_wkb_roundtrip
+    from geo_spark.sources.documents import synth_admin_polygons
+
+    polys = synth_admin_polygons(spark, grid_deg=10.0, with_holes=True)
+    rt = polygon_wkb_roundtrip(F.col("exterior"), F.col("interiors"))
+    return polys.select(
+        "polygon_id",
+        rt["n_bytes"].alias("n_bytes"),
+        rt["n_vertices"].alias("n_vertices"),
+        F.round(rt["sum_x"], 6).alias("sum_x"),
+        F.round(rt["sum_y"], 6).alias("sum_y"),
+        rt["ok"].alias("ok"),
+    )
+
+
+_WKB_ORACLE = """
+    WITH g AS (
+      SELECT pid,
+             -180.0 + (pid % 36) * 10.0 AS xmin,
+             -90.0 + CAST(pid // 36 AS DOUBLE) * 10.0 AS ymin
+      FROM (SELECT CAST(UNNEST(range(0, 648)) AS BIGINT) AS pid)
+    ),
+    h AS (
+      SELECT pid, xmin, ymin, xmin + 10.0 AS xmax, ymin + 10.0 AS ymax,
+             (pid % 17 = 0) AS has_hole
+      FROM g
+    )
+    SELECT pid AS polygon_id,
+           CAST(9 + CASE WHEN has_hole THEN 2 ELSE 1 END * 84 AS INT) AS n_bytes,
+           CAST(CASE WHEN has_hole THEN 10 ELSE 5 END AS INT) AS n_vertices,
+           ROUND(3 * xmin + 2 * xmax
+             + CASE WHEN has_hole THEN 3 * (xmin + 4.0) + 2 * (xmax - 4.0) ELSE 0 END,
+             6) AS sum_x,
+           ROUND(3 * ymin + 2 * ymax
+             + CASE WHEN has_hole THEN 3 * (ymin + 4.0) + 2 * (ymax - 4.0) ELSE 0 END,
+             6) AS sum_y,
+           TRUE AS ok
+    FROM h
+"""
+
+
+def _q_geodesic_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # geodesic inverse∘direct consistency: solve p→q (Karney inverse), then
+    # travel (azi1, s12) from p (direct) — must land back on q to 1e-6°.
+    # q is the derived point of doc_id+1, so the oracle knows the exact
+    # destination coordinates without a geodesic solver.
+    from geo_spark.operators.dedup import ensure_parallelism
+    from geo_spark.operators.geodesic_ops import geodesic_destination
+
+    docs = _docs(spark, sf_dir)
+    docs.createOrReplaceTempView("documents")
+    pq = spark.sql(
+        f"""
+        WITH p AS ({_PTS_CTE}),
+        q AS (
+          SELECT doc_id - 1 AS doc_id, lon AS qlon, lat AS qlat FROM (
+            SELECT doc_id,
+              CAST(CASE WHEN lon_md % 10000000 = 0 THEN lon_md + 1 ELSE lon_md END AS DOUBLE)
+                / CAST(1000000 AS DOUBLE) AS lon,
+              CAST(CASE WHEN lat_md % 10000000 = 0 THEN lat_md + 1 ELSE lat_md END AS DOUBLE)
+                / CAST(1000000 AS DOUBLE) AS lat
+            FROM (SELECT doc_id + 1 AS doc_id,
+                    {_LON_MD.replace('doc_id', '(doc_id + 1)')} AS lon_md,
+                    {_LAT_MD.replace('doc_id', '(doc_id + 1)')} AS lat_md
+                  FROM documents) t
+          ) s
+        )
+        SELECT p.doc_id, p.lon, p.lat, q.qlon, q.qlat
+        FROM p JOIN q USING (doc_id)
+        """
+    )
+    pq = ensure_parallelism(pq)
+    from geo_spark.operators.geodesic_ops import geodesic_bearing_deg, geodesic_meters
+
+    azi = geodesic_bearing_deg("lon", "lat", "qlon", "qlat")
+    s12 = geodesic_meters("lon", "lat", "qlon", "qlat")
+    dest = geodesic_destination(F.col("lon"), F.col("lat"), azi, s12)
+    return pq.select(
+        "doc_id",
+        F.round(dest["lon"], 6).alias("rt_lon"),
+        F.round(dest["lat"], 6).alias("rt_lat"),
+    )
+
+
+def _geodesic_roundtrip_oracle() -> str:
+    lon1 = _LON_MD.replace("doc_id", "(doc_id + 1)")
+    lat1 = _LAT_MD.replace("doc_id", "(doc_id + 1)")
+    return f"""
+        SELECT doc_id,
+          ROUND(CAST(CASE WHEN lon_md % 10000000 = 0 THEN lon_md + 1 ELSE lon_md END AS DOUBLE)
+            / CAST(1000000 AS DOUBLE), 6) AS rt_lon,
+          ROUND(CAST(CASE WHEN lat_md % 10000000 = 0 THEN lat_md + 1 ELSE lat_md END AS DOUBLE)
+            / CAST(1000000 AS DOUBLE), 6) AS rt_lat
+        FROM (SELECT doc_id, {lon1} AS lon_md, {lat1} AS lat_md FROM documents) t
+    """
+
+
+def _q_lof_hotspot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Local Outlier Factor (outlier_detection.rs:26) over the hotspot points;
+    # k=5 neighborhoods are ≪ the 2° halo, so the cell-partitioned score is
+    # exact and DuckDB can brute-force the identical k-dist/lrd/LOF pipeline
+    from geo_spark.operators.cluster import lof
+
+    pts = _derived_points(spark, sf_dir).filter(F.col("doc_id") % 4 == 0)
+    out = lof(pts.withColumnRenamed("doc_id", "id"), k=5, epsilon_halo=2.0)
+    return out.select("id", F.round("lof", 6).alias("lof_r"))
+
+
+_LOF_ORACLE = f"""
+    WITH pts0 AS ({_PTS_CTE}),
+    pts AS (SELECT * FROM pts0 WHERE doc_id % 4 = 0),
+    d AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib,
+             SQRT((a.lon - b.lon) * (a.lon - b.lon)
+                  + (a.lat - b.lat) * (a.lat - b.lat)) AS dist
+      FROM pts a JOIN pts b ON a.doc_id <> b.doc_id
+    ),
+    knn AS (
+      SELECT ia, ib, dist,
+             ROW_NUMBER() OVER (PARTITION BY ia ORDER BY dist, ib) AS rk
+      FROM d
+    ),
+    k5 AS (SELECT * FROM knn WHERE rk <= 5),
+    kd AS (SELECT ia, MAX(dist) AS k_dist FROM k5 GROUP BY ia),
+    reach AS (
+      SELECT k5.ia, k5.ib, GREATEST(kdn.k_dist, k5.dist) AS rd
+      FROM k5 JOIN kd kdn ON kdn.ia = k5.ib
+    ),
+    lrd AS (SELECT ia, 1.0 / AVG(rd) AS lrd FROM reach GROUP BY ia)
+    SELECT a.ia AS id, ROUND(AVG(ln.lrd) / MAX(la.lrd), 6) AS lof_r
+    FROM k5 a JOIN lrd ln ON ln.ia = a.ib JOIN lrd la ON la.ia = a.ia
+    GROUP BY a.ia
+"""
+
+
+def _q_dbscan_hotspot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DBSCAN (dbscan.rs:113) cluster summary over CORE points: a core
+    # point's cluster is its ε-graph component, so (min core id, core count)
+    # per cluster is engine-independent — DuckDB verifies via a recursive
+    # min-label propagation over the core-core ε-edges
+    from geo_spark.operators.cluster import dbscan
+    from geo_spark.operators.distance_join import within_distance_join
+
+    pts = _derived_points(spark, sf_dir).withColumnRenamed("doc_id", "id")
+    clustered = dbscan(pts, epsilon=0.15, min_samples=5, id_col="id")
+    nb = within_distance_join(
+        pts.withColumnRenamed("id", "lid"),
+        pts.withColumnRenamed("id", "rid"),
+        max_dist=0.15,
+        metric="planar",
+    )
+    cores = (
+        nb.groupBy("lid").count().filter(F.col("count") >= 5)
+        .select(F.col("lid").alias("id"))
+    )
+    return (
+        clustered.join(cores, "id")
+        .groupBy("cluster")
+        .agg(F.min("id").alias("cluster_key"), F.count("*").alias("n_core"))
+        .select("cluster_key", "n_core")
+    )
+
+
+_DBSCAN_ORACLE = f"""
+    WITH RECURSIVE pts0 AS ({_PTS_CTE}),
+    nb AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib
+      FROM pts0 a JOIN pts0 b
+        ON (a.lon - b.lon) * (a.lon - b.lon)
+           + (a.lat - b.lat) * (a.lat - b.lat) <= 0.0225
+    ),
+    core AS (SELECT ia AS id FROM nb GROUP BY ia HAVING COUNT(*) >= 5),
+    ce AS (
+      SELECT nb.ia, nb.ib FROM nb
+      JOIN core c1 ON c1.id = nb.ia JOIN core c2 ON c2.id = nb.ib
+    ),
+    lp(id, lbl) AS (
+      SELECT id, id FROM core
+      UNION
+      SELECT ce.ib, lp.lbl FROM lp JOIN ce ON ce.ia = lp.id WHERE lp.lbl < ce.ib
+    ),
+    comp AS (SELECT id, MIN(lbl) AS comp FROM lp GROUP BY id)
+    SELECT comp AS cluster_key, COUNT(*) AS n_core
+    FROM comp GROUP BY comp
+"""
+
+
+def _q_voronoi_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Voronoi (voronoi.rs:216 — Delaunay dual) verified geometrically: a
+    # probe grid inside the hotspot is PIP-joined against the cell polygons;
+    # by definition the containing cell's site is the probe's nearest site,
+    # which DuckDB computes by brute-force argmin
+    from geo_spark.operators.geometry2 import voronoi_of_group
+    from geo_spark.operators.pip_join import pip_join_points_polygons
+
+    sites = (
+        _derived_points(spark, sf_dir)
+        .filter(F.col("doc_id") % 4 == 0)
+        .withColumn("group_id", F.lit(0))
+    )
+    cells = voronoi_of_group(sites, id_col="doc_id")
+    polys = cells.select(
+        F.col("doc_id").alias("polygon_id"),
+        F.col("cell_ring").alias("exterior"),
+        F.array().cast("array<array<struct<x:double,y:double>>>").alias("interiors"),
+    )
+    xs = F.transform(F.col("exterior"), lambda p: p["x"])
+    ys = F.transform(F.col("exterior"), lambda p: p["y"])
+    polys = (
+        polys.withColumn("xmin", F.array_min(xs))
+        .withColumn("ymin", F.array_min(ys))
+        .withColumn("xmax", F.array_max(xs))
+        .withColumn("ymax", F.array_max(ys))
+    )
+    probes = spark.sql(
+        """
+        SELECT CAST(i * 25 + j AS BIGINT) AS probe_id,
+               10.125 + CAST(i AS DOUBLE) / 32.0 AS lon,
+               50.125 + CAST(j AS DOUBLE) / 32.0 AS lat
+        FROM (SELECT explode(sequence(0, 24)) AS i),
+             (SELECT explode(sequence(0, 24)) AS j)
+        """
+    )
+    joined = pip_join_points_polygons(probes, polys, predicate="contains")
+    return joined.select("probe_id", F.col("polygon_id").alias("site_id"))
+
+
+_VORONOI_ORACLE = f"""
+    WITH pts0 AS ({_PTS_CTE}),
+    sites AS (SELECT doc_id, lon, lat FROM pts0 WHERE doc_id % 4 = 0),
+    probes AS (
+      SELECT CAST(i * 25 + j AS BIGINT) AS probe_id,
+             10.125 + CAST(i AS DOUBLE) / 32.0 AS plon,
+             50.125 + CAST(j AS DOUBLE) / 32.0 AS plat
+      FROM range(0, 25) t1(i), range(0, 25) t2(j)
+    ),
+    ranked AS (
+      SELECT p.probe_id, s.doc_id AS site_id,
+             ROW_NUMBER() OVER (PARTITION BY p.probe_id ORDER BY
+               (p.plon - s.lon) * (p.plon - s.lon)
+               + (p.plat - s.lat) * (p.plat - s.lat), s.doc_id) AS rk
+      FROM probes p, sites s
+    )
+    SELECT probe_id, site_id FROM ranked WHERE rk = 1
+"""
+
+
+def _q_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LSH ANN with the deterministic sin-plane sketch: DuckDB reproduces the
+    # 12-bit buckets, the Hamming-1 multiprobe and the exact-cosine rescore,
+    # so the whole approximate path is value-hash gated
+    from geo_spark.operators.ann import lsh_topk, sin_planes
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = lsh_topk(emb, queries_df, k=10, dim=64, n_bits=12, planes=sin_planes(64, 12))
+    return out.select("qid", "vec_id", F.round("cosine", 6).alias("cos_r"), "rank")
+
+
+def _lsh_cosine_oracle_sql() -> str:
+    bucket = (
+        "("
+        + " + ".join(
+            f"CASE WHEN d[{k + 1}] > 0 THEN {1 << k} ELSE 0 END" for k in range(12)
+        )
+        + ")"
+    )
+    return f"""
+        WITH base AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        dots AS (
+          SELECT vec_id, v,
+                 list_transform(range(0, 12), p -> list_reduce(
+                   list_transform(range(1, 65),
+                     i -> SIN(CAST(p * 64 + i AS DOUBLE)) * v[i]),
+                   (x, y) -> x + y)) AS d
+          FROM base
+        ),
+        sk AS (SELECT vec_id, v, {bucket} AS bucket FROM dots),
+        q AS (
+          SELECT vec_id AS qid, v AS qv, bucket AS b0 FROM sk WHERE vec_id % 100 = 0
+        ),
+        probes AS (
+          SELECT qid, qv, xor(b0, CAST(pb AS BIGINT)) AS bucket
+          FROM q, (SELECT UNNEST([0,1,2,4,8,16,32,64,128,256,512,1024,2048]) AS pb)
+        ),
+        cand AS (
+          SELECT DISTINCT p.qid, p.qv, c.vec_id, c.v
+          FROM probes p JOIN sk c ON c.bucket = p.bucket
+        ),
+        scored AS (
+          SELECT qid, vec_id, list_cosine_similarity(qv, v) AS cosine,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY list_cosine_similarity(qv, v) DESC, vec_id) AS rank
+          FROM cand
+        )
+        SELECT qid, vec_id, ROUND(cosine, 6) AS cos_r, CAST(rank AS INT) AS rank
+        FROM scored WHERE rank <= 10
+    """
+
+
+def _q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Structured Streaming with applyInPandasWithState: the stateful
+    # sessionizer over the events stream (availableNow) is value-identical
+    # to the batch window-SQL sessionization, so the same oracle gates a
+    # custom stateful streaming operator end-to-end
+    import uuid
+
+    from geo_spark.streaming.sessions import run_sessionize_available_now
+
+    sink = f"sess_{uuid.uuid4().hex[:10]}"
+    return run_sessionize_available_now(
+        spark, f"{sf_dir}/events.parquet", sink_name=sink
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_contains_grid10": _q_pip_grid,
@@ -752,10 +1594,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "relate_grid_neighbors": _q_relate_grid,
         "minhash_lsh_pairs": _q_minhash_pairs,
         "embed_near_pairs": _q_embed_near_pairs,
-        # non-SQL-expressible (driver records rows-only checks; exact
-        # semantics covered by pytest parity suites):
+        # round-3 closed-form-oracle coverage of the remaining §2 families
+        "centroid_grid": _q_centroid,
+        "simplify_rdp_line": _q_simplify_rdp,
+        "simplify_vw_line": _q_simplify_vw,
+        "line_measures_ops": _q_line_measures,
+        "affine_roundtrip": _q_affine,
+        "hausdorff_frechet_pairs": _q_hausdorff_frechet,
+        "geometry_distance_pairs": _q_geometry_distance,
+        "triangulate_grid": _q_triangulate,
+        "unary_union_squares": _q_unary_union,
+        "closest_point_line": _q_closest_point,
+        "concave_hull_lang": _q_concave_hull,
+        "wkb_roundtrip": _q_wkb_roundtrip,
+        "lof_hotspot": _q_lof_hotspot,
         "dbscan_hotspot": _q_dbscan_hotspot,
+        "voronoi_probe_assign": _q_voronoi_probes,
         "lsh_cosine_topk": _q_lsh_cosine,
+        "geodesic_roundtrip": _q_geodesic_roundtrip,
+        "streaming_sessionize": _q_streaming_sessionize,
+        # rows-only (no SQL-expressible oracle: ellipsoidal inverse needs a
+        # geodesic solver, the raw voronoi rings need polygon arithmetic):
         "voronoi_hotspot": _q_voronoi_hotspot,
         "geodesic_to_nyc": _q_geodesic,
     }
@@ -1222,4 +2081,80 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_lsh_pairs": _minhash_oracle_sql(),
         "embed_near_pairs": _embed_near_oracle_sql(),
+        # round-3 closed-form oracles
+        "centroid_grid": """
+            WITH p AS (
+              SELECT doc_id, CAST(1 + doc_id % 7 AS DOUBLE) AS a,
+                     CAST(1 + doc_id % 5 AS DOUBLE) AS b,
+                     CAST(2 + doc_id % 5 AS DOUBLE) AS c
+              FROM documents
+            )
+            SELECT doc_id,
+                   ROUND(a * (2 * b + c) / (3.0 * (b + c)), 9) AS cx,
+                   ROUND((b * b + c * (b + c)) / (3.0 * (b + c)), 9) AS cy
+            FROM p
+        """,
+        "simplify_rdp_line": _SIMPLIFY_ORACLE,
+        "simplify_vw_line": _SIMPLIFY_ORACLE,
+        "line_measures_ops": _LINE_MEASURES_ORACLE,
+        "affine_roundtrip": _affine_oracle_sql(),
+        "hausdorff_frechet_pairs": _HAUSDORFF_ORACLE,
+        "geometry_distance_pairs": _GEOM_DIST_ORACLE,
+        "triangulate_grid": _TRIANGULATE_ORACLE,
+        "unary_union_squares": _UNION_ORACLE,
+        "closest_point_line": _CLOSEST_ORACLE,
+        "concave_hull_lang": f"""
+            {pts},
+            pl AS (
+              SELECT CAST(ascii(substring(d.lang, 1, 1)) * 256
+                          + ascii(substring(d.lang, 2, 1)) AS BIGINT) AS lang_id,
+                     p.lon AS x, p.lat AS y
+              FROM pts p JOIN documents d USING (doc_id)
+            ),
+            cand AS (SELECT DISTINCT lang_id, x, y FROM pl),
+            ok AS (
+              SELECT a.lang_id, a.x, a.y
+              FROM cand a
+              JOIN cand b ON b.lang_id = a.lang_id
+                         AND NOT (b.x = a.x AND b.y = a.y)
+              JOIN cand r ON r.lang_id = a.lang_id
+                         AND NOT (r.x = a.x AND r.y = a.y)
+                         AND NOT (r.x = b.x AND r.y = b.y)
+              GROUP BY a.lang_id, a.x, a.y, b.x, b.y
+              HAVING bool_and(
+                  (b.x - a.x) * (r.y - a.y) - (b.y - a.y) * (r.x - a.x) > 0
+                  OR ((b.x - a.x) * (r.y - a.y) - (b.y - a.y) * (r.x - a.x) = 0
+                      AND (b.x - a.x) * (r.x - a.x) + (b.y - a.y) * (r.y - a.y) > 0)
+              )
+            )
+            SELECT DISTINCT lang_id, x, y FROM ok
+        """,
+        "wkb_roundtrip": _WKB_ORACLE,
+        "lof_hotspot": _LOF_ORACLE,
+        "dbscan_hotspot": _DBSCAN_ORACLE,
+        "voronoi_probe_assign": _VORONOI_ORACLE,
+        "lsh_cosine_topk": _lsh_cosine_oracle_sql(),
+        "geodesic_roundtrip": _geodesic_roundtrip_oracle(),
+        "streaming_sessionize": """
+            WITH g AS (
+              SELECT user_id, event_id, value, ts,
+                     epoch(ts) - LAG(epoch(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS gap
+              FROM events
+            ),
+            s AS (
+              SELECT user_id, event_id, value,
+                     SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_idx
+              FROM g
+            )
+            SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                   COUNT(*) AS n_events,
+                   MIN(event_id) AS first_event,
+                   CAST(SUM(CAST(ROUND(value * 1000000, 0) AS BIGINT)) AS BIGINT)
+                     AS value_micros
+            FROM s GROUP BY 1, 2
+        """,
     }

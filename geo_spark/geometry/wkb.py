@@ -149,6 +149,55 @@ def to_wkb(g) -> bytes:
 # --- Spark surface -------------------------------------------------------------
 
 
+def polygon_wkb_roundtrip(ext_col, ints_col):
+    """struct<n_bytes,n_vertices,sum_x,sum_y,ok>: encode a polygon column to
+    WKB, decode it back, and report the decoded structure plus byte-exact
+    coordinate equality (``ok``). The closed-form byte length
+    (9 + 4·n_rings + 16·Σ ring sizes) and the coordinate sums make the full
+    binary round-trip oracle-checkable in plain SQL.
+    """
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("struct<n_bytes:int,n_vertices:int,sum_x:double,sum_y:double,ok:boolean>")
+    def udf(exts: pd.Series, ints: pd.Series) -> pd.DataFrame:
+        nb, nv, sx, sy, ok = [], [], [], [], []
+        for i in range(len(exts)):
+            ext = np.asarray([(c["x"], c["y"]) for c in exts.iloc[i]], dtype=np.float64)
+            ivals = ints.iloc[i]
+            if ivals is None:
+                ivals = []
+            holes = [
+                np.asarray([(c["x"], c["y"]) for c in ring], dtype=np.float64)
+                for ring in ivals
+            ]
+            g = ("Polygon", [ext] + holes)
+            buf = to_wkb(g)
+            kind, rings = parse_wkb(buf)
+            allc = np.vstack(rings) if rings else np.empty((0, 2))
+            same = (
+                kind == "Polygon"
+                and len(rings) == 1 + len(holes)
+                and all(
+                    a.shape == b.shape and (a == b).all()
+                    for a, b in zip(rings, [ext] + holes)
+                )
+            )
+            nb.append(len(buf))
+            nv.append(len(allc))
+            sx.append(float(allc[:, 0].sum()))
+            sy.append(float(allc[:, 1].sum()))
+            ok.append(bool(same))
+        return pd.DataFrame(
+            {"n_bytes": nb, "n_vertices": nv, "sum_x": sx, "sum_y": sy, "ok": ok}
+        )
+
+    from pyspark.sql import functions as F
+
+    e = ext_col if not isinstance(ext_col, str) else F.col(ext_col)
+    h = ints_col if not isinstance(ints_col, str) else F.col(ints_col)
+    return udf(e, h)
+
+
 def polygon_from_wkb(wkb_col):
     """BinaryType column of WKB polygons → struct(exterior, interiors).
 

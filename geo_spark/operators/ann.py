@@ -67,9 +67,13 @@ def _hyperplanes(dim: int, n_bits: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((n_bits, dim)).astype(np.float64)
 
 
-def sign_sketch_udf(dim: int, n_bits: int = 16, seed: int = 42):
-    """pandas UDF: embedding → int64 random-hyperplane sign sketch."""
-    H = _hyperplanes(dim, n_bits, seed)
+def sign_sketch_udf(dim: int, n_bits: int = 16, seed: int = 42, planes: np.ndarray | None = None):
+    """pandas UDF: embedding → int64 random-hyperplane sign sketch.
+
+    ``planes`` overrides the seeded Gaussian hyperplanes (e.g. the
+    deterministic ``sin_planes`` so an external oracle can reproduce the
+    buckets)."""
+    H = planes if planes is not None else _hyperplanes(dim, n_bits, seed)
 
     @F.pandas_udf(T.LongType())
     def sketch(vec: pd.Series) -> pd.Series:
@@ -91,13 +95,15 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "qid",
+    planes: np.ndarray | None = None,
 ) -> DataFrame:
     """LSH-bucketed ANN: bucket equi-join + exact cosine rescore.
 
     Recall < 1 by design; rank/tie semantics match ``cosine_topk`` within the
-    candidate set.
+    candidate set. ``planes`` (e.g. ``sin_planes``) makes the bucketing
+    oracle-reproducible.
     """
-    sketch = sign_sketch_udf(dim, n_bits)
+    sketch = sign_sketch_udf(dim, n_bits, planes=planes)
     c = corpus.select(id_col, F.col(vec_col).alias("_cvec")).withColumn(
         "bucket", sketch(F.col("_cvec"))
     )

@@ -158,26 +158,94 @@ def interior_point_col(exterior: Column, interiors: Column) -> Column:
 
 
 def voronoi_of_group(
-    df: DataFrame, group_col: str = "group_id", lon_col: str = "lon", lat_col: str = "lat"
+    df: DataFrame,
+    group_col: str = "group_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    id_col: str | None = None,
 ) -> DataFrame:
-    """Per-group Voronoi cells: one output row per input site with its cell."""
+    """Per-group Voronoi cells: one output row per input site with its cell.
+
+    ``id_col`` (optional, long) is passed through so each cell stays joined
+    to its site's identifier."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         from geo_spark.kernels.triangulate import voronoi_cells
 
         pts = pdf[[lon_col, lat_col]].to_numpy(dtype=np.float64)
         cells = voronoi_cells(pts)
-        return pd.DataFrame(
-            {
-                group_col: pdf[group_col].to_numpy(),
-                lon_col: pts[:, 0],
-                lat_col: pts[:, 1],
-                "cell_ring": [_to_rows(c) for c in cells],
-            }
-        )
+        out = {group_col: pdf[group_col].to_numpy()}
+        if id_col is not None:
+            out[id_col] = pdf[id_col].to_numpy()
+        out[lon_col] = pts[:, 0]
+        out[lat_col] = pts[:, 1]
+        out["cell_ring"] = [_to_rows(c) for c in cells]
+        return pd.DataFrame(out)
 
+    id_part = f"{id_col} long, " if id_col is not None else ""
     schema = (
-        f"{group_col} long, {lon_col} double, {lat_col} double, "
+        f"{group_col} long, {id_part}{lon_col} double, {lat_col} double, "
         "cell_ring array<struct<x:double,y:double>>"
     )
     return df.groupBy(group_col).applyInPandas(fn, schema=schema)
+
+
+def unary_union_rings(rings: Column) -> Column:
+    """struct<n_pieces,area>: union of an array-of-exterior-rings column.
+
+    Per-row n-way union (kernels/boolops.unary_union — the reference's
+    ``unary_union``, bool_ops/mod.rs:259): pieces after merging + total area.
+    """
+    from geo_spark.kernels.area import ring_signed_area
+    from geo_spark.kernels.boolops import unary_union
+
+    @F.pandas_udf("struct<n_pieces:int,area:double>")
+    def udf(arrs: pd.Series) -> pd.DataFrame:
+        ns, areas = [], []
+        for rings_row in arrs:
+            if rings_row is None:
+                rings_row = []
+            polys = [(_to_np(r), []) for r in rings_row]
+            merged = unary_union(polys)
+            total = 0.0
+            for ext, holes in merged:
+                total += abs(ring_signed_area(np.asarray(ext, dtype=np.float64)))
+                for h in holes:
+                    total -= abs(ring_signed_area(np.asarray(h, dtype=np.float64)))
+            ns.append(len(merged))
+            areas.append(total)
+        return pd.DataFrame({"n_pieces": ns, "area": areas})
+
+    return udf(rings)
+
+
+def delaunay_stitch_stats(coords: Column) -> Column:
+    """struct<n_tri,n_pieces,area>: Delaunay-triangulate a point-set column,
+    stitch the triangles back (kernels/stitch.py), return triangle count,
+    stitched piece count and stitched area.
+
+    Parity: TriangulateDelaunay (delaunay triangle set) + StitchTriangles
+    (stitch.rs:25 — union of edge-adjacent triangles).
+    """
+    from geo_spark.kernels.area import ring_signed_area
+    from geo_spark.kernels.stitch import stitch_triangles
+    from geo_spark.kernels.triangulate import delaunay
+
+    @F.pandas_udf("struct<n_tri:int,n_pieces:int,area:double>")
+    def udf(arrs: pd.Series) -> pd.DataFrame:
+        nt, npc, area = [], [], []
+        for arr in arrs:
+            pts = _to_np(arr)
+            tris = delaunay(pts)
+            stitched = stitch_triangles([pts[list(t)] for t in tris])
+            total = 0.0
+            for ext, holes in stitched:
+                total += abs(ring_signed_area(np.asarray(ext, dtype=np.float64)))
+                for h in holes:
+                    total -= abs(ring_signed_area(np.asarray(h, dtype=np.float64)))
+            nt.append(len(tris))
+            npc.append(len(stitched))
+            area.append(total)
+        return pd.DataFrame({"n_tri": nt, "n_pieces": npc, "area": area})
+
+    return udf(coords)

@@ -214,6 +214,57 @@ def is_convex(coords: Column) -> Column:
     return udf(coords)
 
 
+def closest_point_col(coords: Column, px, py) -> Column:
+    """struct<kind,x,y>: nearest point on a polyline column to (px, py).
+
+    Parity: ``ClosestPoint`` kinds (closest_point.rs) — 'intersection' when
+    the query point lies on the line, else 'single'.
+    """
+    from geo_spark.kernels.lines import closest_point_on_line
+
+    @F.pandas_udf("struct<kind:string,x:double,y:double>")
+    def udf(arrs: pd.Series, xs: pd.Series, ys: pd.Series) -> pd.DataFrame:
+        kinds, qx, qy = [], [], []
+        for i, arr in enumerate(arrs):
+            r = closest_point_on_line(_to_np(arr), float(xs.iloc[i]), float(ys.iloc[i]))
+            kinds.append(None if r is None else r[0])
+            qx.append(None if r is None else r[1])
+            qy.append(None if r is None else r[2])
+        return pd.DataFrame({"kind": kinds, "x": qx, "y": qy})
+
+    px = F.lit(px).cast("double") if not isinstance(px, Column) else px
+    py = F.lit(py).cast("double") if not isinstance(py, Column) else py
+    return udf(coords, px, py)
+
+
+def geometry_distance_cols(kind_a: Column, coords_a: Column, kind_b: Column, coords_b: Column) -> Column:
+    """Euclidean distance between two geometry columns (any kind pair).
+
+    Kinds: 'Point' (coords[0]), 'LineString' (coords), 'Polygon' (coords as
+    the exterior ring). Parity: the reference's Distance impls
+    (line_measures/metric_spaces/euclidean.rs) via kernels/gdistance.py.
+    """
+    from geo_spark.kernels.gdistance import geometry_distance
+
+    def mk(kind, arr):
+        if kind == "Point":
+            return ("Point", arr[0])
+        if kind == "LineString":
+            return ("LineString", arr)
+        return ("Polygon", [arr])
+
+    @F.pandas_udf(T.DoubleType())
+    def udf(ka: pd.Series, ca: pd.Series, kb: pd.Series, cb: pd.Series) -> pd.Series:
+        out = []
+        for i in range(len(ka)):
+            ga = mk(ka.iloc[i], _to_np(ca.iloc[i]))
+            gb = mk(kb.iloc[i], _to_np(cb.iloc[i]))
+            out.append(geometry_distance(ga, gb))
+        return pd.Series(out, dtype="float64")
+
+    return udf(kind_a, coords_a, kind_b, coords_b)
+
+
 def centroid(coords: Column, kind: str = "polygon") -> Column:
     """struct<x,y> centroid of a ring ('polygon') or polyline ('line')."""
     from geo_spark.kernels.area import linestring_centroid, polygon_centroid

@@ -208,3 +208,28 @@ def test_tile_counts_salted_column_aggs_raise(spark):
     df = spark.createDataFrame([(1.0, 2.0)], "lon double, lat double")
     with pytest.raises(ValueError):
         tile_counts(df, res=3, salt_buckets=4, extra_aggs=[F.avg("lon").alias("m")])
+
+
+def test_sin_plane_projections_have_margin(spark):
+    # ADVICE r2: the embed_near_pairs / lsh_cosine_topk oracles assume the
+    # sketch sign matches between numpy BLAS matmul (Spark) and a sequential
+    # SQL fold (DuckDB). A projection within float noise of 0 could flip
+    # between the two summation orders; assert every |projection| on the
+    # driver's test data clears a wide margin (>> 64 * eps * |v| * |H|).
+    import numpy as np
+
+    from geo_spark.operators.ann import sin_planes
+
+    H64 = sin_planes(64, 64)
+    H12 = sin_planes(64, 12)
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+        M = np.asarray([np.asarray(r.embedding, dtype=np.float64) for r in emb])
+        # include the planted near-duplicates of _q_embed_near_pairs
+        idx = np.arange(len(M))
+        planted = M[idx % 50 == 0] + 0.05 * np.roll(M[idx % 50 == 0], -1, axis=1)
+        allv = np.vstack([M, planted])
+        for H in (H64, H12):
+            proj = allv @ H.T
+            margin = np.abs(proj).min()
+            assert margin > 1e-8, f"sketch sign margin too small: {margin}"
