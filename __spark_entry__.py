@@ -1338,6 +1338,44 @@ def _geodesic_roundtrip_oracle() -> str:
     """
 
 
+def _q_buffer_mitre(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # mitred-join buffer (LineJoin::Mitre, buffer.rs:14-23): dilating /
+    # eroding an axis-aligned square keeps it square, so the areas are the
+    # exact closed forms (s+2r)² and (s−2r)²
+    from geo_spark.operators.dedup import ensure_parallelism
+    from geo_spark.operators.geometry2 import buffer_polygon_stats
+
+    df = ensure_parallelism(_docs(spark, sf_dir)).selectExpr(
+        "doc_id", "CAST(4 + doc_id % 5 AS DOUBLE) AS s"
+    )
+    df = df.selectExpr(
+        "doc_id",
+        "s",
+        "array(struct(0.0d AS x, 0.0d AS y), struct(s AS x, 0.0d AS y), "
+        "struct(s AS x, s AS y), struct(0.0d AS x, s AS y), "
+        "struct(0.0d AS x, 0.0d AS y)) AS ring",
+    )
+    no_holes = F.array().cast("array<array<struct<x:double,y:double>>>")
+    dil = buffer_polygon_stats(F.col("ring"), no_holes, 1.0, join="mitre")
+    ero = buffer_polygon_stats(F.col("ring"), no_holes, -1.0, join="mitre")
+    return df.select(
+        "doc_id",
+        dil["n_pieces"].alias("n_dilated"),
+        F.round(dil["area"], 9).alias("dilated_area"),
+        ero["n_pieces"].alias("n_eroded"),
+        F.round(ero["area"], 9).alias("eroded_area"),
+    )
+
+
+_BUFFER_MITRE_ORACLE = """
+    WITH p AS (SELECT doc_id, CAST(4 + doc_id % 5 AS DOUBLE) AS s FROM documents)
+    SELECT doc_id,
+           1 AS n_dilated, ROUND((s + 2) * (s + 2), 9) AS dilated_area,
+           1 AS n_eroded, ROUND((s - 2) * (s - 2), 9) AS eroded_area
+    FROM p
+"""
+
+
 def _q_lof_hotspot(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Local Outlier Factor (outlier_detection.rs:26) over the hotspot points;
     # k=5 neighborhoods are ≪ the 2° halo, so the cell-partitioned score is
@@ -1607,6 +1645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closest_point_line": _q_closest_point,
         "concave_hull_lang": _q_concave_hull,
         "wkb_roundtrip": _q_wkb_roundtrip,
+        "buffer_mitre_square": _q_buffer_mitre,
         "lof_hotspot": _q_lof_hotspot,
         "dbscan_hotspot": _q_dbscan_hotspot,
         "voronoi_probe_assign": _q_voronoi_probes,
@@ -2130,6 +2169,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT lang_id, x, y FROM ok
         """,
         "wkb_roundtrip": _WKB_ORACLE,
+        "buffer_mitre_square": _BUFFER_MITRE_ORACLE,
         "lof_hotspot": _LOF_ORACLE,
         "dbscan_hotspot": _DBSCAN_ORACLE,
         "voronoi_probe_assign": _VORONOI_ORACLE,

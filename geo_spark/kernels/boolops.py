@@ -305,6 +305,32 @@ def unary_union(polys):
         for aext, aholes in acc:
             if remaining is not None:
                 u = boolean_op(aext, aholes, remaining[0], remaining[1], "union")
+                if len(u) != 1:
+                    # near-degenerate pairs (shallow-angle overlaps) can fail
+                    # one insertion order but succeed the other — retry
+                    # swapped before concluding the pieces are disjoint
+                    u2 = boolean_op(remaining[0], remaining[1], aext, aholes, "union")
+                    if len(u2) == 1:
+                        u = u2
+                if len(u) != 1:
+                    # last resort for a genuinely-overlapping pair the direct
+                    # union can't arrange: a ∪ b = a ∪ (b − a) — the pieces
+                    # of b − a are edge-adjacent to a (coincident-seam
+                    # unions are the overlay's well-conditioned grid case).
+                    # For truly disjoint a, b the adjacent-union below simply
+                    # fails to fuse and the pieces stay separate, as before.
+                    d = boolean_op(remaining[0], remaining[1], aext, aholes, "difference")
+                    cur = (aext, aholes)
+                    ok = True
+                    for pext, pholes in d:
+                        uu = boolean_op(cur[0], cur[1], pext, pholes, "union")
+                        if len(uu) == 1:
+                            cur = uu[0]
+                        else:
+                            ok = False
+                            break
+                    if ok:
+                        u = [cur]
                 if len(u) == 1:
                     remaining = u[0]
                     consumed = True

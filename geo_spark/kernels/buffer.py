@@ -24,9 +24,18 @@ from geo_spark.kernels.boolops import multipolygon_boolean_op, unary_union
 
 
 def circle_ring(cx: float, cy: float, r: float, quad_segs: int = 8) -> np.ndarray:
-    """Polygonal circle on the absolute angle grid (same center → same ring)."""
+    """Polygonal circle on the absolute angle grid (same center → same ring).
+
+    The grid is offset by a tiny irrational fraction (1e-6 golden-ratio of
+    a step) so no vertex ever lands exactly on an axis-aligned or 45° ray:
+    segment-rectangle corners lie on such rays, and a circle vertex exactly
+    on a rectangle corner ray is the vertex-on-edge degeneracy the overlay
+    must not be fed. The offset (~1e-7 r displacement — far above ulp, far
+    below any curve tolerance) is the same for every circle, so coincident
+    circles stay bitwise identical.
+    """
     n = max(4 * quad_segs, 8)
-    ang = np.linspace(0.0, 2.0 * np.pi, n, endpoint=False)
+    ang = (np.arange(n) + 0.3819660112501051e-6) * (2.0 * np.pi / n)
     ring = np.column_stack([cx + r * np.cos(ang), cy + r * np.sin(ang)])
     return np.vstack([ring, ring[:1]])
 
@@ -52,7 +61,7 @@ def segment_rectangle(a, b, r: float) -> np.ndarray | None:
     return ring
 
 
-def _mitre_wedge(u, v, w, r: float, mitre_limit: float, bevel_only: bool):
+def _mitre_wedge(u, v, w, r: float, mitre_limit: float, bevel_only: bool, quad_segs: int = 8):
     """Join piece filling the gap on the outside of the turn at vertex v.
 
     Adjacent segment rectangles leave a pie-slice gap on the convex side of
@@ -71,8 +80,16 @@ def _mitre_wedge(u, v, w, r: float, mitre_limit: float, bevel_only: bool):
     d1 /= l1
     d2 /= l2
     cross = d1[0] * d2[1] - d1[1] * d2[0]
+    dot = d1[0] * d2[0] + d1[1] * d2[1]
     if cross == 0.0:
         return None
+    # near-straight joint: the exact wedge is a hair-thin sliver whose
+    # nearly-coincident edges destabilize the overlay; a round join here
+    # deviates from the mitre by ≤ r·(1 − cos(turn/2)) ≈ r·turn²/8 — far
+    # below the dist/100 curve tolerance — and circles are the overlay-safe
+    # piece shape (module robustness note)
+    if abs(cross) < 0.05 and dot > 0:
+        return circle_ring(v[0], v[1], r, quad_segs)
     if cross > 0:  # left turn → gap on the right side
         n1 = np.array([d1[1], -d1[0]])
         n2 = np.array([d2[1], -d2[0]])
@@ -81,6 +98,12 @@ def _mitre_wedge(u, v, w, r: float, mitre_limit: float, bevel_only: bool):
         n2 = np.array([-d2[1], d2[0]])
     p1 = v + n1 * r
     p2 = v + n2 * r
+    # pull the apex slightly to the covered side: the edges (apex → p1/p2)
+    # must cross the segment rectangles transversally — with the apex AT v
+    # they coincide with exactly half of each rectangle's end edge, the
+    # partially-overlapping-collinear case exact overlays can't order
+    # (same robustness rule as the absolute-angle circles, see module doc)
+    apex = v - (n1 + n2) * (0.05 * r)
     if not bevel_only:
         # offset-line intersection: p1 + t·d1 == p2 + s·d2
         denom = d1[0] * d2[1] - d1[1] * d2[0]
@@ -88,10 +111,18 @@ def _mitre_wedge(u, v, w, r: float, mitre_limit: float, bevel_only: bool):
         t = (rhs[0] * d2[1] - rhs[1] * d2[0]) / denom
         m = p1 + t * d1
         if float(np.hypot(m[0] - v[0], m[1] - v[1])) <= mitre_limit * r:
-            ring = np.array([v, p1, m, p2, v], dtype=np.float64)
-            return ring
-    ring = np.array([v, p1, p2, v], dtype=np.float64)
-    return ring
+            ring = np.array([apex, p1, m, p2, apex], dtype=np.float64)
+            return _ccw(ring)
+    ring = np.array([apex, p1, p2, apex], dtype=np.float64)
+    return _ccw(ring)
+
+
+def _ccw(ring: np.ndarray) -> np.ndarray:
+    """Orient a closed ring CCW (the union's exterior convention — circle
+    pieces are CCW by construction; wedges must match)."""
+    from geo_spark.kernels.area import ring_signed_area
+
+    return ring if ring_signed_area(ring) >= 0 else ring[::-1]
 
 
 def _join_pieces(ring, r: float, quad_segs: int, join: str, mitre_limit: float, closed: bool):
@@ -112,7 +143,7 @@ def _join_pieces(ring, r: float, quad_segs: int, join: str, mitre_limit: float, 
             w = ring[(i + 1) % (n - 1)]
             wedge = _mitre_wedge(
                 np.asarray(u, float), np.asarray(v, float), np.asarray(w, float),
-                r, mitre_limit, bevel_only,
+                r, mitre_limit, bevel_only, quad_segs,
             )
             if wedge is not None:
                 pieces.append((wedge, []))
@@ -122,7 +153,7 @@ def _join_pieces(ring, r: float, quad_segs: int, join: str, mitre_limit: float, 
                 np.asarray(ring[i - 1], float),
                 np.asarray(ring[i], float),
                 np.asarray(ring[i + 1], float),
-                r, mitre_limit, bevel_only,
+                r, mitre_limit, bevel_only, quad_segs,
             )
             if wedge is not None:
                 pieces.append((wedge, []))
@@ -134,11 +165,34 @@ def _join_pieces(ring, r: float, quad_segs: int, join: str, mitre_limit: float, 
     return pieces
 
 
+def _collapse_close_vertices(ring: np.ndarray, tol: float, closed: bool) -> np.ndarray:
+    """Drop vertices closer than ``tol`` to their predecessor (JTS
+    OffsetCurveBuilder's CURVE_VERTEX_SNAP_DISTANCE_FACTOR = 1e-6 · distance):
+    a near-duplicate vertex gives the joint an arbitrary direction and a
+    mitre wedge can swing across the shape's interior."""
+    if tol <= 0 or len(ring) < 3:
+        return ring
+    keep = [0]
+    for i in range(1, len(ring)):
+        prev = ring[keep[-1]]
+        if float(np.hypot(ring[i, 0] - prev[0], ring[i, 1] - prev[1])) > tol:
+            keep.append(i)
+    out = ring[keep]
+    if closed:
+        if len(out) > 1 and float(np.hypot(*(out[-1] - out[0]))) <= tol:
+            out = out[:-1]
+        if len(out) >= 1 and (out[0] != out[-1]).any():
+            out = np.vstack([out, out[:1]])
+    return out
+
+
 def _stroke_pieces(rings, r: float, quad_segs: int, join: str = "round", mitre_limit: float = 5.0):
     pieces = []
     seen_vertices = set()
+    snap_tol = r * 1e-6
     for ring in rings:
         ring = np.asarray(ring, dtype=np.float64)
+        ring = _collapse_close_vertices(ring, snap_tol, closed=True)
         for i in range(len(ring) - 1):
             rect = segment_rectangle(ring[i], ring[i + 1], r)
             if rect is not None:
@@ -156,31 +210,67 @@ def _stroke_pieces(rings, r: float, quad_segs: int, join: str = "round", mitre_l
     return pieces
 
 
-def buffer_line(coords: np.ndarray, r: float, quad_segs: int = 8):
+def _line_pieces(coords: np.ndarray, r: float, quad_segs: int, join: str, mitre_limit: float, seen_vertices: set):
+    """Stroke pieces (rects + joins/caps) for one open polyline; identical
+    vertex circles are emitted ONCE across calls (the ``seen_vertices``
+    set): a duplicate identical piece would cancel itself under the
+    odd-even union parity — exactly what happens at a closed ring's
+    closure vertex or a shared endpoint of two lines."""
+    coords = _collapse_close_vertices(coords, r * 1e-6, closed=False)
+    pieces = []
+    for i in range(len(coords) - 1):
+        rect = segment_rectangle(coords[i], coords[i + 1], r)
+        if rect is not None:
+            pieces.append((rect, []))
+    if join == "round":
+        verts = coords
+    else:
+        pieces.extend(_join_pieces(coords, r, quad_segs, join, mitre_limit, closed=False))
+        verts = []
+    for v in verts:
+        key = (float(v[0]), float(v[1]))
+        if key not in seen_vertices:
+            seen_vertices.add(key)
+            pieces.append((circle_ring(v[0], v[1], r, quad_segs), []))
+    return pieces
+
+
+def buffer_line(
+    coords: np.ndarray,
+    r: float,
+    quad_segs: int = 8,
+    join: str = "round",
+    mitre_limit: float = 5.0,
+):
     """Buffer of a polyline: list of (exterior, holes)."""
     coords = np.asarray(coords, dtype=np.float64)
     if len(coords) == 0 or r <= 0:
         return []
     if len(coords) == 1:
         return [(circle_ring(coords[0, 0], coords[0, 1], r, quad_segs), [])]
-    pieces = []
-    for i in range(len(coords) - 1):
-        rect = segment_rectangle(coords[i], coords[i + 1], r)
-        if rect is not None:
-            pieces.append((rect, []))
-    for v in coords:
-        pieces.append((circle_ring(v[0], v[1], r, quad_segs), []))
-    return unary_union(pieces)
+    return unary_union(_line_pieces(coords, r, quad_segs, join, mitre_limit, set()))
 
 
-def buffer_polygon(exterior, interiors=(), r: float = 1.0, quad_segs: int = 8):
-    """Positive r dilates, negative r erodes; list of (exterior, holes)."""
+def buffer_polygon(
+    exterior,
+    interiors=(),
+    r: float = 1.0,
+    quad_segs: int = 8,
+    join: str = "round",
+    mitre_limit: float = 5.0,
+):
+    """Positive r dilates, negative r erodes; list of (exterior, holes).
+
+    ``join``: 'round' (vertex circles), 'mitre' (offset-line intersections,
+    truncated past ``mitre_limit``·r) or 'bevel' — the reference's LineJoin
+    styles (``geo/src/algorithm/buffer.rs:14-23``).
+    """
     ext = np.asarray(exterior, dtype=np.float64)
     base = [(ext, [np.asarray(h, dtype=np.float64) for h in interiors])]
     if r == 0:
         return base
     rings = [ext] + [np.asarray(h, dtype=np.float64) for h in interiors]
-    band = unary_union(_stroke_pieces(rings, abs(r), quad_segs))
+    band = unary_union(_stroke_pieces(rings, abs(r), quad_segs, join, mitre_limit))
     if r > 0:
         return multipolygon_boolean_op(base, band, "union")
     return multipolygon_boolean_op(base, band, "difference")
@@ -190,3 +280,110 @@ def buffer_point(x: float, y: float, r: float, quad_segs: int = 8):
     if r <= 0:
         return []
     return [(circle_ring(x, y, r, quad_segs), [])]
+
+
+def buffer_geometry(g, dist: float, quad_segs: int = 8, join: str = "round", mitre_limit: float = 5.0):
+    """Buffer any (kind, data) geometry → [(exterior, holes)].
+
+    JTS semantics: non-polygonal inputs with distance ≤ 0 → empty; polygon
+    distance 0 is the identity (degenerate rings repair to empty).
+
+    Conditioning: all arithmetic runs in a local frame translated to the
+    geometry's (floor'd) bbox minimum — at raw coordinates of magnitude
+    ~1e6 the overlay's float predicates degrade (measured: a union of two
+    overlapping line buffers collapsed), while the same shapes at the
+    origin union exactly. One shared shift keeps coincident vertex circles
+    bitwise identical across members; outputs are shifted back.
+    """
+    import math
+
+    def all_pts(gg):
+        kind, data = gg
+        if kind == "Point":
+            return [np.asarray(data, float).reshape(1, 2)]
+        if kind in ("MultiPoint", "LineString"):
+            return [np.asarray(data, float).reshape(-1, 2)]
+        if kind in ("MultiLineString", "Polygon"):
+            return [np.asarray(l, float) for l in data]
+        if kind == "MultiPolygon":
+            return [np.asarray(r, float) for p in data for r in p]
+        if kind == "GeometryCollection":
+            return [a for m in data for a in all_pts(m)]
+        raise ValueError(kind)
+
+    def shift(gg, off):
+        kind, data = gg
+        if kind == "Point":
+            return (kind, np.asarray(data, float) - off)
+        if kind in ("MultiPoint", "LineString"):
+            return (kind, np.asarray(data, float) - off)
+        if kind in ("MultiLineString", "Polygon"):
+            return (kind, [np.asarray(l, float) - off for l in data])
+        if kind == "MultiPolygon":
+            return (kind, [[np.asarray(r, float) - off for r in p] for p in data])
+        if kind == "GeometryCollection":
+            return (kind, [shift(m, off) for m in data])
+        raise ValueError(kind)
+
+    pts = all_pts(g)
+    if not pts or all(len(a) == 0 for a in pts):
+        return []
+    mn = np.min(np.vstack([a for a in pts if len(a)]), axis=0)
+    off = np.array([math.floor(mn[0]), math.floor(mn[1])], dtype=np.float64)
+    out = _buffer_local(shift(g, off), dist, quad_segs, join, mitre_limit)
+    return [
+        (np.asarray(ext, float) + off, [np.asarray(h, float) + off for h in holes])
+        for ext, holes in out
+    ]
+
+
+def _buffer_local(g, dist: float, quad_segs: int, join: str, mitre_limit: float):
+    kind, data = g
+    if kind == "GeometryCollection":
+        pieces = []
+        for m in data:
+            pieces.extend(_buffer_local(m, dist, quad_segs, join, mitre_limit))
+        return unary_union(pieces)
+    if kind in ("Point", "MultiPoint"):
+        if dist <= 0:
+            return []
+        pts = np.asarray(data, dtype=np.float64).reshape(-1, 2)
+        return unary_union(
+            [(circle_ring(x, y, dist, quad_segs), []) for x, y in pts]
+        )
+    if kind in ("LineString", "MultiLineString"):
+        if dist <= 0:
+            return []
+        lines = [data] if kind == "LineString" else list(data)
+        # one piece-level union across all members (a union of per-member
+        # RESULTS would feed the overlay pairs of shapes with identical
+        # shared-vertex arcs — the piece set dedupes those instead)
+        pieces = []
+        seen: set = set()
+        for l in lines:
+            l = np.asarray(l, dtype=np.float64)
+            if len(l) == 1:
+                pieces.append((circle_ring(l[0, 0], l[0, 1], dist, quad_segs), []))
+            elif len(l) >= 2:
+                pieces.extend(
+                    _line_pieces(l, dist, quad_segs, join, mitre_limit, seen)
+                )
+        return unary_union(pieces)
+    if kind in ("Polygon", "MultiPolygon"):
+        polys = [(data[0], data[1:])] if kind == "Polygon" else [
+            (p[0], p[1:]) for p in data if len(p)
+        ]
+        if dist == 0:
+            from geo_spark.kernels.repair import make_valid
+
+            out = []
+            for ext, holes in polys:
+                out.extend(make_valid(ext, holes))
+            return out
+        out = []
+        for ext, holes in polys:
+            out.extend(
+                buffer_polygon(ext, holes, dist, quad_segs, join, mitre_limit)
+            )
+        return unary_union(out) if len(polys) > 1 else out
+    raise ValueError(f"unsupported buffer operand: {kind}")

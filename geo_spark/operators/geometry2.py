@@ -249,3 +249,38 @@ def delaunay_stitch_stats(coords: Column) -> Column:
         return pd.DataFrame({"n_tri": nt, "n_pieces": npc, "area": area})
 
     return udf(coords)
+
+
+def buffer_polygon_stats(
+    exterior: Column,
+    interiors: Column,
+    r: float,
+    join: str = "round",
+    quad_segs: int = 8,
+    mitre_limit: float = 5.0,
+) -> Column:
+    """struct<n_pieces,area>: buffer (dilate r>0 / erode r<0) of a polygon
+    column with the requested LineJoin style (buffer.rs:14-23,59 —
+    round/mitre/bevel)."""
+    from geo_spark.kernels.area import ring_signed_area
+    from geo_spark.kernels.buffer import buffer_polygon
+
+    @F.pandas_udf("struct<n_pieces:int,area:double>")
+    def udf(exts: pd.Series, ints: pd.Series) -> pd.DataFrame:
+        ns, areas = [], []
+        for i in range(len(exts)):
+            holes = ints.iloc[i]
+            holes = [] if holes is None else [_to_np(h) for h in holes]
+            out = buffer_polygon(
+                _to_np(exts.iloc[i]), holes, r, quad_segs, join, mitre_limit
+            )
+            total = 0.0
+            for ext, hs in out:
+                total += abs(ring_signed_area(np.asarray(ext, dtype=np.float64)))
+                for h in hs:
+                    total -= abs(ring_signed_area(np.asarray(h, dtype=np.float64)))
+            ns.append(len(out))
+            areas.append(total)
+        return pd.DataFrame({"n_pieces": ns, "area": areas})
+
+    return udf(exterior, interiors)

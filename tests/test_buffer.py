@@ -56,3 +56,64 @@ def test_polygon_buffer_with_hole():
     exp_hole_fill = 16.0 - 4.0  # hole area shrinks to ~2x2 (+ rounded corners)
     got = overlay_area(dil)
     assert got == pytest.approx(base + exp_outer_gain + exp_hole_fill, rel=0.02)
+
+
+def test_mitre_and_bevel_joins_square():
+    import numpy as np
+
+    from geo_spark.kernels.area import ring_signed_area
+    from geo_spark.kernels.buffer import buffer_polygon
+
+    sq = np.array([(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)], float)
+    # mitre dilation of a square is the exact bigger square
+    out = buffer_polygon(sq, [], 2.0, join="mitre")
+    assert len(out) == 1
+    assert abs(abs(ring_signed_area(np.asarray(out[0][0]))) - 14 * 14) < 1e-9
+    # mitre erosion is the exact smaller square
+    out = buffer_polygon(sq, [], -2.0, join="mitre")
+    assert abs(abs(ring_signed_area(np.asarray(out[0][0]))) - 6 * 6) < 1e-9
+    # bevel dilation cuts each corner: (s+2r)^2 - 2r^2
+    out = buffer_polygon(sq, [], 2.0, join="bevel")
+    assert abs(abs(ring_signed_area(np.asarray(out[0][0]))) - (196 - 8)) < 1e-9
+    # round dilation: corners are quarter 32-gons
+    out = buffer_polygon(sq, [], 2.0, join="round")
+    a32 = 0.5 * 32 * 4.0 * np.sin(2 * np.pi / 32)  # inscribed 32-gon area
+    assert abs(abs(ring_signed_area(np.asarray(out[0][0]))) - (100 + 4 * 10 * 2 + a32)) < 1e-6
+
+
+def test_mitre_limit_falls_back_to_bevel():
+    import numpy as np
+
+    from geo_spark.kernels.buffer import _mitre_wedge
+
+    # a sharp spike: mitre point would be ~11.5r away; limit 5 → bevel (4-pt ring)
+    u = np.array([0.0, 0.0]); v = np.array([10.0, 0.0]); w = np.array([0.0, 1.0])
+    ring = _mitre_wedge(u, v, w, 1.0, 5.0, bevel_only=False)
+    assert ring is not None and len(ring) == 4  # bevel triangle (closed)
+    # gentle corner stays a mitre quad
+    w2 = np.array([10.0, 10.0])
+    ring = _mitre_wedge(u, v, w2, 1.0, 5.0, bevel_only=False)
+    assert ring is not None and len(ring) == 5
+
+
+def test_buffer_geometry_large_coordinates():
+    # the local-frame conditioning: union of overlapping line buffers at
+    # ~1.3e6 magnitude coordinates must merge into one piece
+    import numpy as np
+
+    from geo_spark.kernels.area import ring_signed_area
+    from geo_spark.kernels.buffer import buffer_geometry
+
+    g = (
+        "MultiLineString",
+        [
+            np.array([(1335558.59, 631743.01), (1335572.28, 631775.89)], float),
+            np.array([(1335572.28, 631775.89), (1335576.62, 631803.90)], float),
+        ],
+    )
+    out = buffer_geometry(g, 10.0)
+    assert len(out) == 1
+    # closed ring (LinearRing) buffer keeps its interior hole
+    ring = ("LineString", np.array([(0, 0), (20, 0), (20, 20), (0, 20), (0, 0)], float))
+    out = buffer_geometry(ring, 1.0)
+    assert len(out) == 1 and len(out[0][1]) == 1  # annulus: one hole

@@ -37,6 +37,9 @@ def test_jts_general_corpus():
     # overlays/validity, component-merged in relate). Remaining skips are
     # mixed-dimension GC results, buffer curve approximations, and
     # polygonize-to-GC cases.
+    # round 3: +31 buffer / bufferMitredJoin cases (round + mitre + bevel
+    # joins, BufferResultMatcher semantics: symdiff-area + densified
+    # boundary Hausdorff tolerances — the matcher the corpus itself names)
     results, failures = run_corpus()
-    assert results["pass"] >= 1647, (results, failures[:10])
+    assert results["pass"] >= 1678, (results, failures[:10])
     assert results["fail"] == 0, failures

@@ -69,7 +69,11 @@ def test_state_carries_sessions_across_batches(spark, tmp_path):
     os.makedirs(src + "/all")
     for i, sub in enumerate(["f1", "f2"]):
         part = [f for f in os.listdir(f"{src}/{sub}") if f.endswith(".parquet")][0]
-        shutil.copy(f"{src}/{sub}/{part}", f"{src}/all/part-{i}.parquet")
+        dst = f"{src}/all/part-{i}.parquet"
+        shutil.copy(f"{src}/{sub}/{part}", dst)
+        # the file stream source orders batches by modification time — pin
+        # ascending mtimes so file 1 is batch 1
+        os.utime(dst, (1700000000 + i * 100, 1700000000 + i * 100))
 
     got = run_sessionize_available_now(
         spark, src + "/all", sink_name="sess_test_split", max_files_per_trigger=1

@@ -43,6 +43,8 @@ _SUPPORTED = {
     "intersectionng", "unionng", "differenceng", "symdifferenceng",
     "intersectionsr", "unionsr", "differencesr", "symdifferencesr",
     "minclearance", "minclearanceline",
+    # BufferResultMatcher semantics (symdiff area + boundary Hausdorff)
+    "buffer", "buffermitredjoin",
 }
 
 _OVERLAY_BASE = {
@@ -559,6 +561,83 @@ def _covers(ga, gb) -> bool | None:
     return None
 
 
+def _buffer_geom(g, dist: float, join: str):
+    """Buffer via the engine kernel (local-frame conditioned), with pieces
+    below the matcher's resolution dropped (JTS's simplified outputs cannot
+    represent sub-dist/100 features either)."""
+    from geo_spark.kernels.area import ring_signed_area
+    from geo_spark.kernels.buffer import buffer_geometry
+
+    out = buffer_geometry(g, dist, join=join)
+    amin = dist * dist * 1e-4
+    kept = []
+    for ext, holes in out:
+        if abs(ring_signed_area(np.asarray(ext, float))) < amin:
+            continue
+        keep = [
+            h for h in holes if abs(ring_signed_area(np.asarray(h, float))) >= amin
+        ]
+        kept.append((ext, keep))
+    return kept
+
+
+def _buffer_match(mine, exp, dist: float) -> bool:
+    """org.locationtech.jtstest.testrunner.BufferResultMatcher semantics:
+    symmetric-difference area ≤ 1e-3 · expected area AND densified-boundary
+    discrete Hausdorff ≤ max(|dist|/100, 1e-8)."""
+    from geo_spark.kernels.boolops import multipolygon_boolean_op
+
+    area_mine = _poly_area(mine)
+    area_exp = _poly_area(exp)
+    if area_mine == 0.0 and area_exp == 0.0:
+        return True  # both empty point sets (incl. degenerate flat rings)
+    if not mine or not exp:
+        return False
+    sym = multipolygon_boolean_op(mine, exp, "xor")
+    if _poly_area(sym) > 1e-3 * max(area_exp, 1e-30):
+        return False
+
+    def boundary_pts(polys):
+        out = []
+        for ext, holes in polys:
+            for ring in [ext] + list(holes):
+                ring = np.asarray(ring, dtype=np.float64)
+                a, b = ring[:-1], ring[1:]
+                for t in (0.0, 0.25, 0.5, 0.75):
+                    out.append(a + (b - a) * t)
+        return np.vstack(out) if out else np.empty((0, 2))
+
+    def boundary_segs(polys):
+        a_, b_ = [], []
+        for ext, holes in polys:
+            for ring in [ext] + list(holes):
+                ring = np.asarray(ring, dtype=np.float64)
+                a_.append(ring[:-1])
+                b_.append(ring[1:])
+        return np.vstack(a_), np.vstack(b_)
+
+    def pts_to_segs_max(pts, segs):
+        # max over pts of the distance to the nearest boundary SEGMENT —
+        # JTS's DiscreteHausdorffDistance measures densified points against
+        # the other geometry's continuous boundary
+        a, b = segs
+        d = b - a  # (m,2)
+        l2 = np.maximum((d ** 2).sum(axis=1), 1e-300)
+        px = pts[:, 0][:, None] - a[:, 0][None, :]
+        py = pts[:, 1][:, None] - a[:, 1][None, :]
+        t = np.clip((px * d[:, 0][None, :] + py * d[:, 1][None, :]) / l2[None, :], 0.0, 1.0)
+        dx = px - t * d[:, 0][None, :]
+        dy = py - t * d[:, 1][None, :]
+        return float(np.sqrt((dx * dx + dy * dy).min(axis=1)).max())
+
+    tol = max(abs(dist) / 100.0, 1e-8)
+    h = max(
+        pts_to_segs_max(boundary_pts(mine), boundary_segs(exp)),
+        pts_to_segs_max(boundary_pts(exp), boundary_segs(mine)),
+    )
+    return h <= tol
+
+
 def run_case(c) -> str:
     """'pass' | 'fail' | 'skip'."""
     op = c["op"]
@@ -663,6 +742,23 @@ def run_case(c) -> str:
                 return "fail"
             pos = ring_position(exp_coords[:, 0], exp_coords[:, 1], mine)
             return "pass" if (pos >= 0).all() else "fail"
+
+        if op in ("buffer", "buffermitredjoin"):
+            if c.get("arg2") is None:
+                return "skip"
+            dist = float(c["arg2"])
+            join = "mitre" if op == "buffermitredjoin" else "round"
+            mine = _buffer_geom(ga, dist, join)
+            if "EMPTY" in expected.upper():
+                exp_polys = []
+            else:
+                exp = _clean_wkt(expected)
+                if exp is None:
+                    return "skip"
+                exp_polys = _as_polygons(exp)
+                if exp_polys is None:
+                    return "skip"
+            return "pass" if _buffer_match(mine, exp_polys, dist) else "fail"
 
         if op == "distance":
             from geo_spark.kernels.gdistance import geometry_distance
