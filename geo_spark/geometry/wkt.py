@@ -18,7 +18,7 @@ import re
 
 import numpy as np
 
-_NUM = r"[-+]?\d*\.?\d+(?:[eE][-+]?\d+)?"
+_NUM = r"[-+]?\d*\.?\d+(?:[eE][-+]?\d+)?|NaN|[-+]?Inf(?:inity)?"
 
 
 def _parse_coord_seq(body: str) -> np.ndarray:
@@ -76,7 +76,7 @@ def parse_wkt(text: str):
         return "GeometryCollection", parsed
     if tag == "POINT":
         return "Point", _parse_coord_seq(body)[0]
-    if tag == "LINESTRING":
+    if tag in ("LINESTRING", "LINEARRING"):
         return "LineString", _parse_coord_seq(body)
     if tag == "POLYGON":
         return "Polygon", [_parse_coord_seq(g) for g in _split_groups(body)]
