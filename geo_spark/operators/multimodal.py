@@ -2,14 +2,16 @@
 
 Media are opaque ``binary`` columns with typed metadata structs; the Spark
 side — schemas, partition-sized Arrow batches, ``mapInPandas`` signatures —
-is real and tested. The actual codecs (PIL/ffmpeg/librosa) are NOT available
-in this container, so the decode step is a clearly-marked seam:
+is real and tested. Decode paths:
 
-- ``decode='stub'`` raises NotImplementedError (production wiring point);
-- ``decode='fake'`` derives deterministic pseudo-features from the bytes
-  (content-hash seeded), so the distributed plumbing is testable end-to-end
-  and downstream consumers (ANN over media embeddings, dedup by content
-  hash) run for real.
+- ``decode='png'`` — a REAL decoder: the stdlib PNG codec
+  (kernels/png.py — zlib inflate, all five scanline filters, gray/RGB/
+  palette/alpha, 8/16-bit) with deterministic image-statistics features;
+  golden-tested against hand-built and round-tripped images.
+- ``decode='fake'`` — content-hash-seeded pseudo-features, for exercising
+  the distributed plumbing with arbitrary bytes.
+- ``decode='stub'`` — raises NotImplementedError: the wiring point for
+  heavy codecs (PIL/ffmpeg/librosa) not present in this container.
 
 At 100 TB: media bytes never leave the executor — ``mapInPandas`` streams
 Arrow batches; feature vectors (small) are all that shuffles.
@@ -50,14 +52,22 @@ def extract_media_features(
 ) -> DataFrame:
     """(id, content_sha256, n_bytes, features array<double>) via mapInPandas.
 
-    ``decode='stub'`` marks where a real image/audio decoder plugs in.
+    Decode modes:
+    - ``'png'``  — REAL decode via the stdlib PNG codec (kernels/png.py:
+      zlib inflate + scanline unfilter), features = deterministic image
+      statistics (dims, channel means/stds, 16-bin histogram). Non-PNG
+      payloads get null features.
+    - ``'fake'`` — content-hash-seeded pseudo-embedding (plumbing tests).
+    - ``'stub'`` — raises: the wiring point for PIL/ffmpeg-class codecs.
     """
-    if decode not in ("fake", "stub"):
+    if decode not in ("fake", "stub", "png"):
         raise ValueError(f"unknown decode mode: {decode}")
 
     schema = f"{id_col} string, content_sha256 string, n_bytes long, features array<double>"
 
     def run(batches):
+        from geo_spark.kernels.png import decode_png, png_features
+
         for pdf in batches:
             if decode == "stub":
                 raise NotImplementedError(
@@ -77,7 +87,14 @@ def extract_media_features(
                 out[id_col].append(ids.iloc[i])
                 out["content_sha256"].append(hashlib.sha256(raw).hexdigest())
                 out["n_bytes"].append(len(raw))
-                out["features"].append(_fake_features(raw, dim).tolist())
+                if decode == "png":
+                    try:
+                        feats = png_features(decode_png(raw), dim).tolist()
+                    except Exception:
+                        feats = None
+                else:
+                    feats = _fake_features(raw, dim).tolist()
+                out["features"].append(feats)
             yield pd.DataFrame(out)
 
     return df.select(id_col, content_col).mapInPandas(run, schema=schema)

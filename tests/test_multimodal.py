@@ -71,3 +71,88 @@ def test_media_dedup_exact(spark):
     out = media_dedup_exact(dup)
     assert out.count() == 50
     assert out.filter("n_copies = 2").count() == 10
+
+
+def test_png_roundtrip_all_filters_and_kinds():
+    import numpy as np
+
+    from geo_spark.kernels.png import decode_png, encode_png
+
+    rng = np.random.RandomState(11)
+    for nch in (1, 2, 3, 4):
+        img = rng.randint(0, 256, (13, 9, nch), dtype=np.uint8)
+        for ft in range(5):
+            out = decode_png(encode_png(img, filter_type=ft))
+            assert out.shape == img.shape, (nch, ft)
+            assert (out == img).all(), f"roundtrip mismatch nch={nch} filter={ft}"
+
+
+def test_png_16bit_and_palette():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from geo_spark.kernels.png import _SIG, decode_png
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    # hand-built 2x2 16-bit grayscale (big-endian samples, filter 0)
+    vals = np.array([[1000, 2000], [40000, 65535]], dtype=np.uint16)
+    rows = b""
+    for y in range(2):
+        rows += b"\x00" + vals[y].astype(">u2").tobytes()
+    buf = (
+        _SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(rows))
+        + chunk(b"IEND", b"")
+    )
+    out = decode_png(buf)
+    assert out.dtype == np.uint16 and (out[:, :, 0] == vals).all()
+
+    # 2x2 palette image: indices [[0,1],[2,0]] with a 3-color palette
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    rows = b"\x00" + bytes([0, 1]) + b"\x00" + bytes([2, 0])
+    buf = (
+        _SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(rows))
+        + chunk(b"IEND", b"")
+    )
+    out = decode_png(buf)
+    assert out.shape == (2, 2, 3)
+    assert out[0, 0].tolist() == [255, 0, 0]
+    assert out[0, 1].tolist() == [0, 255, 0]
+    assert out[1, 0].tolist() == [0, 0, 255]
+
+
+def test_png_feature_extraction_spark(spark):
+    import numpy as np
+
+    from geo_spark.kernels.png import decode_png, encode_png, png_features
+    from geo_spark.operators.multimodal import extract_media_features
+
+    rng = np.random.RandomState(3)
+    rows = []
+    imgs = {}
+    for i in range(6):
+        img = rng.randint(0, 256, (8 + i, 5 + i, 3), dtype=np.uint8)
+        imgs[f"u{i}"] = img
+        rows.append((f"u{i}", bytearray(encode_png(img, filter_type=i % 5))))
+    rows.append(("bad", bytearray(b"not a png at all")))
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {
+        r.url: r.features
+        for r in extract_media_features(df, decode="png").collect()
+    }
+    for i in range(6):
+        exp = png_features(imgs[f"u{i}"], 32)
+        assert np.allclose(got[f"u{i}"], exp, atol=0), f"u{i}"
+        assert got[f"u{i}"][0] == 5 + i and got[f"u{i}"][1] == 8 + i
+    assert got["bad"] is None
