@@ -1345,9 +1345,9 @@ def _q_buffer_mitre(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geo_spark.operators.dedup import ensure_parallelism
     from geo_spark.operators.geometry2 import buffer_polygon_stats
 
-    df = ensure_parallelism(_docs(spark, sf_dir)).selectExpr(
-        "doc_id", "CAST(4 + doc_id % 5 AS DOUBLE) AS s"
-    )
+    df = ensure_parallelism(
+        _docs(spark, sf_dir).filter(F.col("doc_id") % 5 == 0)
+    ).selectExpr("doc_id", "CAST(4 + doc_id % 5 AS DOUBLE) AS s")
     df = df.selectExpr(
         "doc_id",
         "s",
@@ -1368,7 +1368,8 @@ def _q_buffer_mitre(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BUFFER_MITRE_ORACLE = """
-    WITH p AS (SELECT doc_id, CAST(4 + doc_id % 5 AS DOUBLE) AS s FROM documents)
+    WITH p AS (SELECT doc_id, CAST(4 + doc_id % 5 AS DOUBLE) AS s
+               FROM documents WHERE doc_id % 5 = 0)
     SELECT doc_id,
            1 AS n_dilated, ROUND((s + 2) * (s + 2), 9) AS dilated_area,
            1 AS n_eroded, ROUND((s - 2) * (s - 2), 9) AS eroded_area

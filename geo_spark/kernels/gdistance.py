@@ -52,11 +52,28 @@ def _pts_to_segs(P: np.ndarray, S: np.ndarray) -> float:
 
 
 def geometry_distance(ga, gb) -> float:
-    """Minimum Euclidean distance between two geometries (0 if they meet)."""
-    if is_intersects(relate_matrix(ga, gb)):
-        return 0.0
+    """Minimum Euclidean distance between two geometries (0 if they meet).
+
+    Fast path: bbox-disjoint pairs (the common case in distance joins)
+    skip the full DE-9IM noding — separated boxes cannot intersect, so the
+    primitive reduction below is already exact.
+    """
     Pa, Sa = _prims(ga)
     Pb, Sb = _prims(gb)
+    bbox_disjoint = False
+    ca = [Pa] + ([Sa.reshape(-1, 2)] if len(Sa) else [])
+    cb = [Pb] + ([Sb.reshape(-1, 2)] if len(Sb) else [])
+    ca = np.vstack([c for c in ca if len(c)]) if any(len(c) for c in ca) else None
+    cb = np.vstack([c for c in cb if len(c)]) if any(len(c) for c in cb) else None
+    if ca is not None and cb is not None:
+        bbox_disjoint = (
+            ca[:, 0].max() < cb[:, 0].min()
+            or cb[:, 0].max() < ca[:, 0].min()
+            or ca[:, 1].max() < cb[:, 1].min()
+            or cb[:, 1].max() < ca[:, 1].min()
+        )
+    if not bbox_disjoint and is_intersects(relate_matrix(ga, gb)):
+        return 0.0
     best = np.inf
     if len(Pa) and len(Pb):
         d = np.hypot(Pa[:, None, 0] - Pb[None, :, 0], Pa[:, None, 1] - Pb[None, :, 1])

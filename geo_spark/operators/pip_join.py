@@ -148,21 +148,31 @@ def pip_join_points_polygons(
     """
     spark = points.sparkSession
     # the polygon geometry must land on the driver regardless (broadcast
-    # refine is this operator's contract), so collect once, then choose the
-    # cover-build strategy by actual size: a driver loop below the threshold
-    # (a few hundred covers cost less than a Spark job round-trip), the
-    # mapInPandas distributed build above it (~1M admin polygons would
-    # serialize minutes of cover CPU on the driver)
+    # refine is this operator's contract). Below the threshold, one collect
+    # feeds both the cover build and the geometry table (a few hundred
+    # covers cost less than a Spark job round-trip). Above it, the cover
+    # builds distributedly (mapInPandas) and the geometry STREAMS to the
+    # driver via toLocalIterator — at the ~1M-polygon contract ceiling this
+    # holds one copy of the geometry (the broadcast dict), not two (the
+    # collected Row list plus the dict).
     driver_cover_threshold = 20_000
-    poly_rows = polygons.select(
-        "polygon_id", "exterior", "interiors", "xmin", "ymin", "xmax", "ymax"
-    ).collect()
-    if res is None:
-        res = choose_res(poly_rows)
-    if len(poly_rows) <= driver_cover_threshold:
+    n_polys = polygons.count()
+    if n_polys <= driver_cover_threshold:
+        poly_rows = polygons.select(
+            "polygon_id", "exterior", "interiors", "xmin", "ymin", "xmax", "ymax"
+        ).collect()
+        if res is None:
+            res = choose_res(poly_rows)
         cover_rows = _driver_cover_rows(poly_rows, res)
     else:
+        if res is None:
+            res = choose_res(
+                polygons.select("xmin", "ymin", "xmax", "ymax").limit(2048).collect()
+            )
         cover_rows = _distributed_cover_rows(polygons, res)
+        poly_rows = polygons.select(
+            "polygon_id", "exterior", "interiors"
+        ).toLocalIterator(prefetchPartitions=True)
     if refine == "sql":
         # Catalyst-native refine: partial cells carry the polygon geometry
         # through the broadcast; full cells carry NULL (no geometry needed).
