@@ -72,13 +72,14 @@ def banded_candidate_pairs(
 
     Returns id_a, id_b, {payload}_a, {payload}_b, deduplicated on the id
     pair. Shuffle keys are always (band_idx, band_hash) — no cartesian.
+
+    Plan selection is adaptive: one tiny aggregation probes the maximum
+    bucket size first (the caller persists ``banded``, so this reads the
+    cache). On healthy data — every bucket ≤ ``max_bucket`` — the original
+    single self-join plan runs with ZERO extra stages; only a
+    duplicate-heavy input pays for the guard machinery.
     """
     from pyspark.sql import Window
-
-    sizes = banded.groupBy("band_idx", "band_hash").agg(F.count("*").alias("_bsz"))
-    b = banded.join(sizes, ["band_idx", "band_hash"])
-    small = b.filter(F.col("_bsz") <= max_bucket).drop("_bsz")
-    big = b.filter(F.col("_bsz") > max_bucket).drop("_bsz")
 
     def _all_pairs(d: DataFrame) -> DataFrame:
         a_, b_ = d.alias("a"), d.alias("b")
@@ -94,6 +95,19 @@ def banded_candidate_pairs(
             F.col(f"b.{payload}").alias(f"{payload}_b"),
         )
 
+    max_seen = (
+        banded.groupBy("band_idx", "band_hash")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    if max_seen is None or max_seen <= max_bucket:
+        return _all_pairs(banded).dropDuplicates(["id_a", "id_b"])
+
+    wb = Window.partitionBy("band_idx", "band_hash")
+    b = banded.withColumn("_bsz", F.count("*").over(wb))
+    small = b.filter(F.col("_bsz") <= max_bucket).drop("_bsz")
+    big = b.filter(F.col("_bsz") > max_bucket).drop("_bsz")
     pairs = _all_pairs(small)
     wcls = Window.partitionBy("band_idx", "band_hash", payload).orderBy(id_col)
     chained = (
@@ -306,9 +320,11 @@ def simhash_near_pairs(
         .alias(f"band{b}")
         for b in range(n_bands)
     ]
+    from pyspark.storagelevel import StorageLevel
+
     banded = fps.select(
         id_col, "simhash", F.posexplode(F.array(*bands)).alias("band_idx", "band_hash")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     pairs = banded_candidate_pairs(banded, id_col, "simhash", max_bucket)
     hamming = F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
     return (
