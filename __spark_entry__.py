@@ -1377,6 +1377,49 @@ _BUFFER_MITRE_ORACLE = """
 """
 
 
+def _q_overlay_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # heterogeneous overlay results (kernels/overlay_mixed): a 10° cell vs
+    # itself shifted east by 5° (area overlap), 10° (edge touch → a LINE
+    # piece of length 10) or diagonally by (10°,10°) (corner touch → a
+    # POINT piece) — the dimension mix is closed-form per pid
+    from geo_spark.operators.boolops import mixed_overlay_stats
+    from geo_spark.sources.documents import synth_admin_polygons
+
+    polys = synth_admin_polygons(spark, grid_deg=10.0, with_holes=False).filter(
+        (F.col("polygon_id") % 5 == 0) & (F.col("polygon_id") < 600)
+    )
+    pid = F.col("polygon_id")
+    dx = (
+        F.when(pid % 3 == 0, F.lit(5.0))
+        .when(pid % 3 == 1, F.lit(10.0))
+        .otherwise(F.lit(10.0))
+    )
+    dy = F.when(pid % 3 == 2, F.lit(10.0)).otherwise(F.lit(0.0))
+    ext_b = F.transform(
+        F.col("exterior"),
+        lambda p: F.struct((p["x"] + dx).alias("x"), (p["y"] + dy).alias("y")),
+    )
+    no_holes = F.array().cast("array<array<struct<x:double,y:double>>>")
+    st = mixed_overlay_stats(F.col("exterior"), no_holes, ext_b, no_holes, "intersection")
+    return polys.select(
+        "polygon_id",
+        st["n_polys"].alias("n_polys"),
+        F.round(st["poly_area"], 9).alias("poly_area"),
+        F.round(st["seg_len"], 9).alias("seg_len"),
+        st["n_points"].alias("n_points"),
+    )
+
+
+_OVERLAY_TOUCH_ORACLE = """
+    SELECT CAST(pid AS BIGINT) AS polygon_id,
+           CAST(CASE WHEN pid % 3 = 0 THEN 1 ELSE 0 END AS INT) AS n_polys,
+           CAST(CASE WHEN pid % 3 = 0 THEN 50.0 ELSE 0.0 END AS DOUBLE) AS poly_area,
+           CAST(CASE WHEN pid % 3 = 1 THEN 10.0 ELSE 0.0 END AS DOUBLE) AS seg_len,
+           CAST(CASE WHEN pid % 3 = 2 THEN 1 ELSE 0 END AS INT) AS n_points
+    FROM range(0, 648) t(pid) WHERE pid % 5 = 0 AND pid < 600
+"""
+
+
 def _q_lof_hotspot(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Local Outlier Factor (outlier_detection.rs:26) over the hotspot points;
     # k=5 neighborhoods are ≪ the 2° halo, so the cell-partitioned score is
@@ -1647,6 +1690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concave_hull_lang": _q_concave_hull,
         "wkb_roundtrip": _q_wkb_roundtrip,
         "buffer_mitre_square": _q_buffer_mitre,
+        "overlay_touch_dims": _q_overlay_touch,
         "lof_hotspot": _q_lof_hotspot,
         "dbscan_hotspot": _q_dbscan_hotspot,
         "voronoi_probe_assign": _q_voronoi_probes,
@@ -2171,6 +2215,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "wkb_roundtrip": _WKB_ORACLE,
         "buffer_mitre_square": _BUFFER_MITRE_ORACLE,
+        "overlay_touch_dims": _OVERLAY_TOUCH_ORACLE,
         "lof_hotspot": _LOF_ORACLE,
         "dbscan_hotspot": _DBSCAN_ORACLE,
         "voronoi_probe_assign": _VORONOI_ORACLE,

@@ -156,3 +156,49 @@ def distributed_unary_union(
         for r in level.collect()
     ]
     return unary_union(local)
+
+
+def mixed_overlay_stats(
+    ext_a: "Column", ints_a: "Column", ext_b: "Column", ints_b: "Column", op: str
+) -> "Column":
+    """struct<n_polys,poly_area,n_segs,seg_len,n_points>: the heterogeneous
+    overlay of two polygon columns (kernels/overlay_mixed.mixed_overlay —
+    the GeometryCollection-shaped result JTS OverlayNG produces: area pieces
+    + collapsed/shared-boundary line pieces + isolated touch points).
+    """
+    from geo_spark.kernels.area import ring_signed_area
+    from geo_spark.kernels.overlay_mixed import mixed_overlay
+
+    @F.pandas_udf(
+        "struct<n_polys:int,poly_area:double,n_segs:int,seg_len:double,n_points:int>"
+    )
+    def udf(ea: pd.Series, ia: pd.Series, eb: pd.Series, ib: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        cols = {"n_polys": [], "poly_area": [], "n_segs": [], "seg_len": [], "n_points": []}
+        for i in range(len(ea)):
+            def poly(ext, ints):
+                rings = [np.asarray([(c["x"], c["y"]) for c in ext], dtype=np.float64)]
+                for ring in ints or []:
+                    rings.append(np.asarray([(c["x"], c["y"]) for c in ring], dtype=np.float64))
+                return ("Polygon", rings)
+
+            pts, segs, polys = mixed_overlay(
+                poly(ea.iloc[i], ia.iloc[i]), poly(eb.iloc[i], ib.iloc[i]), op
+            )
+            area = 0.0
+            for ext, holes in polys:
+                area += abs(ring_signed_area(np.asarray(ext, dtype=np.float64)))
+                for h in holes:
+                    area -= abs(ring_signed_area(np.asarray(h, dtype=np.float64)))
+            slen = sum(
+                float(np.hypot(b[0] - a[0], b[1] - a[1])) for a, b in segs
+            )
+            cols["n_polys"].append(len(polys))
+            cols["poly_area"].append(area)
+            cols["n_segs"].append(len(segs))
+            cols["seg_len"].append(slen)
+            cols["n_points"].append(len(pts))
+        return pd.DataFrame(cols)
+
+    return udf(ext_a, ints_a, ext_b, ints_b)

@@ -43,11 +43,11 @@ def test_jts_general_corpus():
     # (GC results: area + collapsed-line + touch-point pieces via
     # _mixed_overlay) incl. unary union of mixed collections; +GC centroid /
     # interior-point phase fallbacks; +LinearRing validity; +NaN validity;
-    # +degenerate hulls / empty boundaries / empty clearances. Remaining 61
+    # +degenerate hulls / empty boundaries / empty clearances. Remaining 60
     # skips: fixed-precision heterogeneous results (44 — coordinate snapping
     # alone can't predict hot-pixel-routed mixed output), polygonize (6 —
     # the reference runner doesn't parse the op either), sundry GC edge
     # combos.
     results, failures = run_corpus()
-    assert results["pass"] >= 2149, (results, failures[:10])
+    assert results["pass"] >= 2150, (results, failures[:10])
     assert results["fail"] == 0, failures
