@@ -1627,6 +1627,20 @@ def _lsh_cosine_oracle_sql() -> str:
     """
 
 
+def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dedup-in-stream (dropDuplicatesWithinWatermark, watermark-bounded
+    # state): the surviving first-seen hash set equals the batch DISTINCT —
+    # DuckDB verifies it exactly
+    import uuid
+
+    from geo_spark.streaming.dedup import run_streaming_dedup_available_now
+
+    sink = f"sdedup_{uuid.uuid4().hex[:10]}"
+    return run_streaming_dedup_available_now(
+        spark, f"{sf_dir}/documents.parquet", sink_name=sink
+    )
+
+
 def _q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Structured Streaming with applyInPandasWithState: the stateful
     # sessionizer over the events stream (availableNow) is value-identical
@@ -1697,6 +1711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_cosine_topk": _q_lsh_cosine,
         "geodesic_roundtrip": _q_geodesic_roundtrip,
         "streaming_sessionize": _q_streaming_sessionize,
+        "streaming_dedup_distinct": _q_streaming_dedup,
         # rows-only (no SQL-expressible oracle: ellipsoidal inverse needs a
         # geodesic solver, the raw voronoi rings need polygon arithmetic):
         "voronoi_hotspot": _q_voronoi_hotspot,
@@ -2221,6 +2236,9 @@ def oracle_sql() -> dict[str, str]:
         "voronoi_probe_assign": _VORONOI_ORACLE,
         "lsh_cosine_topk": _lsh_cosine_oracle_sql(),
         "geodesic_roundtrip": _geodesic_roundtrip_oracle(),
+        "streaming_dedup_distinct": """
+            SELECT DISTINCT md5(text) AS text_hash FROM documents
+        """,
         "streaming_sessionize": """
             WITH g AS (
               SELECT user_id, event_id, value, ts,

@@ -582,6 +582,126 @@ class Geodesic:
         return np.degrees(phi2), lon2, np.degrees(alp2)
 
 
+    # --- batched polygon area -------------------------------------------------
+
+    def edges_area_batch(self, lat1, lon1, lat2, lon2):
+        """Vectorized ``_edge_area`` over edge arrays → (areas, s12).
+
+        One ``inverse_batch`` for every edge, one masked Newton for σ2, one
+        fused quadrature for the Green-integral ∮ q(φ) dλ — the batched form
+        of the scalar per-edge loop in ``polygon_area_perimeter``."""
+        f, b = self.f, self.b
+        s12, azi1, _ = self.inverse_batch(lat1, lon1, lat2, lon2)
+        n = s12.shape[0]
+        areas = np.zeros(n)
+        live = s12 != 0.0
+        if not live.any():
+            return areas, s12
+        phi1 = np.radians(np.asarray(lat1, dtype=np.float64)[live])
+        alp1 = np.radians(azi1[live])
+        sl = s12[live]
+        sbet1 = (1.0 - f) * np.sin(phi1)
+        cbet1 = np.cos(phi1)
+        norm = np.hypot(sbet1, cbet1)
+        sbet1, cbet1 = sbet1 / norm, cbet1 / norm
+        salp1, calp1 = np.sin(alp1), np.cos(alp1)
+        salp0 = salp1 * cbet1
+        calp0 = np.hypot(calp1, salp1 * sbet1)
+        k2 = self.ep2 * calp0 * calp0
+        hyp1 = np.hypot(sbet1, cbet1 * calp1)
+        h1s = np.where(hyp1 > 0, hyp1, 1.0)
+        ssig1 = np.where(hyp1 > 0, sbet1 / h1s, 0.0)
+        csig1 = np.where(hyp1 > 0, (cbet1 * calp1) / h1s, 1.0)
+        sig1 = np.arctan2(ssig1, csig1)
+        sig2 = sig1 + sl / (b * np.sqrt(1.0 + k2 * 0.5))
+        active = np.ones(sig2.shape[0], dtype=bool)
+        for _ in range(100):
+            ai = np.flatnonzero(active)
+            if ai.size == 0:
+                break
+            g = b * self._dist_integral_batch(k2[ai], sig1[ai], sig2[ai]) - sl[ai]
+            dg = b * np.sqrt(1.0 + k2[ai] * np.sin(sig2[ai]) ** 2)
+            step = g / dg
+            sig2[ai] -= step
+            active[ai[np.abs(step) < 1e-15]] = False
+
+        one_m_f = 1.0 - f
+        salp0_sq = salp0 * salp0
+        k2c = k2[:, None, None]
+        salp0c = salp0[:, None, None]
+        salp0_sqc = salp0_sq[:, None, None]
+        calp0c = calp0[:, None, None]
+
+        def integrand(s):
+            ss, cs = np.sin(s), np.cos(s)
+            sbet = calp0c * ss
+            cbet = np.sqrt(salp0_sqc + (calp0c * cs) ** 2)
+            sphi = sbet / np.sqrt(sbet * sbet + (one_m_f * cbet) ** 2)
+            domg = salp0c / (cs * cs + salp0_sqc * ss * ss)
+            glam = (2.0 - f) / (1.0 + one_m_f * np.sqrt(1.0 + k2c * ss * ss))
+            dlam = domg - f * salp0c * glam
+            return self._q(sphi) * dlam
+
+        areas[live] = self._quad_batch(integrand, sig1, sig2)
+        return areas, s12
+
+    def rings_area_perimeter_batch(self, rings):
+        """[(n_i, 2) lon/lat ring arrays] → (signed areas, perimeters).
+
+        Batches every edge of every ring through one solver pass —
+        the vectorized form of ``polygon_area_perimeter`` (same CCW > 0
+        convention, same pole-winding closure)."""
+        lon1s, lat1s, lon2s, lat2s, owner = [], [], [], [], []
+        winding = np.zeros(len(rings))
+        counts = np.zeros(len(rings), dtype=np.int64)
+        for ri, ring in enumerate(rings):
+            lons = np.asarray(ring, dtype=np.float64)[:, 0]
+            lats = np.asarray(ring, dtype=np.float64)[:, 1]
+            if len(lons) >= 2 and lons[0] == lons[-1] and lats[0] == lats[-1]:
+                lons, lats = lons[:-1], lats[:-1]
+            n = len(lons)
+            counts[ri] = n
+            if n < 3:
+                continue
+            nxt = np.roll(np.arange(n), -1)
+            lon1s.append(lons)
+            lat1s.append(lats)
+            lon2s.append(lons[nxt])
+            lat2s.append(lats[nxt])
+            owner.append(np.full(n, ri, dtype=np.int64))
+            dl = ((lons[nxt] - lons) + 540.0) % 360.0 - 180.0
+            winding[ri] = np.radians(dl).sum()
+        areas = np.zeros(len(rings))
+        perims = np.zeros(len(rings))
+        if not lon1s:
+            return areas, perims
+        lon1 = np.concatenate(lon1s)
+        lat1 = np.concatenate(lat1s)
+        lon2 = np.concatenate(lon2s)
+        lat2 = np.concatenate(lat2s)
+        own = np.concatenate(owner)
+        ea, es = [], []
+        for i in range(0, lon1.shape[0], _BATCH_BLOCK):
+            a, s = self.edges_area_batch(
+                lat1[i : i + _BATCH_BLOCK],
+                lon1[i : i + _BATCH_BLOCK],
+                lat2[i : i + _BATCH_BLOCK],
+                lon2[i : i + _BATCH_BLOCK],
+            )
+            ea.append(a)
+            es.append(s)
+        np.add.at(areas, own, np.concatenate(ea))
+        np.add.at(perims, own, np.concatenate(es))
+        big = np.abs(winding) > math.pi
+        if big.any():
+            pole_q = np.where(winding > 0, float(self._q(1.0)), float(self._q(-1.0)))
+            areas[big] -= winding[big] / (2.0 * math.pi) * 2.0 * math.pi * pole_q[big]
+        areas = -areas  # CCW > 0 convention (see polygon_area_perimeter)
+        areas[counts < 3] = 0.0
+        perims[counts < 3] = 0.0
+        return areas, perims
+
+
 WGS84 = Geodesic()
 
 _BATCH_BLOCK = 2048  # rows per vectorized block (keeps GL-node temporaries ~4 MB)

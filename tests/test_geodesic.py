@@ -236,3 +236,26 @@ def test_inverse_direct_roundtrip_batch():
     assert np.max(np.abs(rlat - lat2)) < 1e-9
     dlon = np.minimum(np.abs(rlon - lon2), 360 - np.abs(rlon - lon2))
     assert np.max(dlon * np.cos(np.radians(lat2))) < 1e-9
+
+
+def test_rings_area_perimeter_batch_matches_scalar():
+    import numpy as np
+
+    from geo_spark.kernels.geodesic import WGS84
+
+    rng = np.random.RandomState(9)
+    rings = []
+    for i in range(25):
+        n = 4 + i % 6
+        cx, cy = rng.uniform(-150, 150), rng.uniform(-70, 70)
+        ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+        r = 1.0 + 0.3 * rng.rand(n)
+        ring = np.column_stack([cx + r * np.cos(ang), cy + 0.5 * r * np.sin(ang)])
+        rings.append(np.vstack([ring, ring[:1]]))
+    rings.append(np.column_stack([np.linspace(-180, 180, 13), np.full(13, 80.0)]))
+    rings.append(np.array([(0.0, 0.0), (1.0, 1.0)]))  # degenerate -> 0
+    areas, perims = WGS84.rings_area_perimeter_batch(rings)
+    for i, ring in enumerate(rings):
+        a, p = WGS84.polygon_area_perimeter(ring[:, 0], ring[:, 1])
+        assert abs(a - areas[i]) <= 1e-4 + 1e-10 * abs(a)
+        assert abs(p - perims[i]) <= 1e-6 + 1e-12 * abs(p)

@@ -84,3 +84,53 @@ def test_state_carries_sessions_across_batches(spark, tmp_path):
     assert d[(1, 3)] == (1, 6, 7000000)
     assert d[(2, 1)] == (1, 7, 3000000)
     assert len(d) == 4
+
+
+def test_streaming_dedup_matches_batch_distinct(spark):
+    from pyspark.sql import functions as F
+
+    from geo_spark.streaming.dedup import run_streaming_dedup_available_now
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    got = {
+        r.text_hash
+        for r in run_streaming_dedup_available_now(
+            spark, path, sink_name="sd_test1"
+        ).collect()
+    }
+    exp = {
+        r.h
+        for r in spark.read.parquet(path)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+        .collect()
+    }
+    assert got == exp and len(got) > 0
+
+
+def test_streaming_dedup_drops_cross_batch_duplicates(spark, tmp_path):
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from geo_spark.streaming.dedup import run_streaming_dedup_available_now
+
+    # same texts in both files, timestamps within the watermark horizon:
+    # batch 2's duplicates must be dropped by the stateful seen-set
+    rows1 = [("a", "2024-01-01 00:00:00"), ("b", "2024-01-01 00:10:00")]
+    rows2 = [("a", "2024-01-01 00:20:00"), ("c", "2024-01-01 00:30:00")]
+    src = str(tmp_path / "docs_split")
+    os.makedirs(src + "/all")
+    for i, rows in enumerate((rows1, rows2)):
+        df = pd.DataFrame(rows, columns=["text", "warc_ts"])
+        df["warc_ts"] = pd.to_datetime(df["warc_ts"])
+        spark.createDataFrame(df).coalesce(1).write.parquet(f"{src}/f{i}")
+        part = [f for f in os.listdir(f"{src}/f{i}") if f.endswith(".parquet")][0]
+        dst = f"{src}/all/part-{i}.parquet"
+        shutil.copy(f"{src}/f{i}/{part}", dst)
+        os.utime(dst, (1700000000 + i * 100, 1700000000 + i * 100))
+    got = run_streaming_dedup_available_now(
+        spark, src + "/all", sink_name="sd_test2", max_files_per_trigger=1
+    )
+    assert got.count() == 3  # a, b, c — the second 'a' was stateful-dropped
