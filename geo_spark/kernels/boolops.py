@@ -296,14 +296,31 @@ def unary_union(polys):
     polys = list(polys)
     if not polys:
         return []
+
+    def bbox(ext):
+        a = np.asarray(ext, dtype=np.float64)
+        return (a[:, 0].min(), a[:, 1].min(), a[:, 0].max(), a[:, 1].max())
+
+    def bbox_disjoint(b1, b2):
+        return b1[2] < b2[0] or b2[2] < b1[0] or b1[3] < b2[1] or b2[3] < b1[1]
+
     acc = [polys[0]]
+    acc_bb = [bbox(polys[0][0])]
     for ext, holes in polys[1:]:
         merged = []
         remaining = (ext, holes)
+        rem_bb = bbox(ext)
         consumed = False
         out = []
-        for aext, aholes in acc:
+        out_bb = []
+        for aext, aholes, abb in ((a, h, b) for (a, h), b in zip(acc, acc_bb)):
             if remaining is not None:
+                # separated bboxes can never merge: skip the overlay (and
+                # its degenerate-pair retries) entirely
+                if bbox_disjoint(abb, rem_bb):
+                    out.append((aext, aholes))
+                    out_bb.append(abb)
+                    continue
                 u = boolean_op(aext, aholes, remaining[0], remaining[1], "union")
                 if len(u) != 1:
                     # near-degenerate pairs (shallow-angle overlaps) can fail
@@ -333,12 +350,16 @@ def unary_union(polys):
                         u = [cur]
                 if len(u) == 1:
                     remaining = u[0]
+                    rem_bb = bbox(remaining[0])
                     consumed = True
                     continue
             out.append((aext, aholes))
+            out_bb.append(abb)
         if remaining is not None:
             out.append(remaining)
+            out_bb.append(rem_bb)
         acc = out
+        acc_bb = out_bb
     return acc
 
 
