@@ -193,7 +193,9 @@ def _seg_hits_pixel(a, b, v, h: float) -> bool:
     return (v[0] - h <= x < v[0] + h) and (v[1] - h <= y < v[1] + h)
 
 
-def snap_round_rings(rings, scale: float, max_iter: int = 8, extra_edges=()) -> list:
+def snap_round_rings(
+    rings, scale: float, max_iter: int = 8, extra_edges=(), return_collapsed: bool = False
+):
     """Fixed-precision (snap-rounding) repair of a ring soup → valid
     multipolygon on the 1/scale grid.
 
@@ -233,7 +235,7 @@ def snap_round_rings(rings, scale: float, max_iter: int = 8, extra_edges=()) -> 
             if a != b:
                 edges.append((a, b))
     if not edges:
-        return []
+        return ([], []) if return_collapsed else []
 
     ring_edges = edges
     extra = []
@@ -274,10 +276,21 @@ def snap_round_rings(rings, scale: float, max_iter: int = 8, extra_edges=()) -> 
         ) and Counter(map(_undirected, routed_extra)) == Counter(map(_undirected, extra))
         ring_edges, extra = routed_ring, routed_extra
         if not ring_edges:
-            return []
+            return ([], []) if return_collapsed else []
         if stable:
             break
-    return _edges_to_valid(_self_split(ring_edges))
+    final = _self_split(ring_edges)
+    result = _edges_to_valid(final)
+    if not return_collapsed:
+        return result
+    # even-multiplicity edges cancel in the odd-even parity — they are the
+    # snap-rounded form of collapsed spikes/slivers (zero-width strips whose
+    # two sides landed on the same grid edges). The caller decides which of
+    # them are LINE output (exterior to the surviving area) vs interior
+    # seams (absorbed).
+    counts = Counter(_undirected(e) for e in final)
+    collapsed = [key for key, cnt in counts.items() if cnt % 2 == 0]
+    return result, collapsed
 
 
 def _split_pinch_ring(ring: np.ndarray) -> list[np.ndarray]:

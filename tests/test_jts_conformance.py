@@ -43,11 +43,14 @@ def test_jts_general_corpus():
     # (GC results: area + collapsed-line + touch-point pieces via
     # _mixed_overlay) incl. unary union of mixed collections; +GC centroid /
     # interior-point phase fallbacks; +LinearRing validity; +NaN validity;
-    # +degenerate hulls / empty boundaries / empty clearances. Remaining 60
-    # skips: fixed-precision heterogeneous results (44 — coordinate snapping
-    # alone can't predict hot-pixel-routed mixed output), polygonize (6 —
-    # the reference runner doesn't parse the op either), sundry GC edge
-    # combos.
+    # +degenerate hulls / empty boundaries / empty clearances. Late round 3:
+    # typed-EMPTY expecteds compare as empty point sets, and fixed-precision
+    # dimensional collapse is evaluated via the snap-round parity itself
+    # (even-multiplicity cancelled edges = the collapsed spike/sliver
+    # skeleton -> LINE output) -> 2180. Remaining 30 skips: the hardest
+    # snap-rounded heterogeneous cases (~24, need the full OverlayNG
+    # collapse-labelling pipeline), polygonize (6 — the reference runner
+    # doesn't parse the op either).
     results, failures = run_corpus()
-    assert results["pass"] >= 2150, (results, failures[:10])
+    assert results["pass"] >= 2180, (results, failures[:10])
     assert results["fail"] == 0, failures
