@@ -391,13 +391,6 @@ def _q_hull_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verts.select("lang_id", F.col("v.x").alias("x"), F.col("v.y").alias("y"))
 
 
-def _q_dbscan_hotspot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from geo_spark.operators.cluster import dbscan
-
-    pts = _derived_points(spark, sf_dir).withColumnRenamed("doc_id", "id")
-    return dbscan(pts, epsilon=0.5, min_samples=5, id_col="id")
-
-
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # md5_60 gram hashes → DuckDB recomputes the identical signature matrix
     # (the uint64-wrapping permutation arithmetic is mirrored in HUGEINT),
@@ -1464,22 +1457,11 @@ def _q_dbscan_hotspot(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per cluster is engine-independent — DuckDB verifies via a recursive
     # min-label propagation over the core-core ε-edges
     from geo_spark.operators.cluster import dbscan
-    from geo_spark.operators.distance_join import within_distance_join
 
     pts = _derived_points(spark, sf_dir).withColumnRenamed("doc_id", "id")
-    clustered = dbscan(pts, epsilon=0.15, min_samples=5, id_col="id")
-    nb = within_distance_join(
-        pts.withColumnRenamed("id", "lid"),
-        pts.withColumnRenamed("id", "rid"),
-        max_dist=0.15,
-        metric="planar",
-    )
-    cores = (
-        nb.groupBy("lid").count().filter(F.col("count") >= 5)
-        .select(F.col("lid").alias("id"))
-    )
+    clustered = dbscan(pts, epsilon=0.15, min_samples=5, id_col="id", include_core=True)
     return (
-        clustered.join(cores, "id")
+        clustered.filter(F.col("is_core"))
         .groupBy("cluster")
         .agg(F.min("id").alias("cluster_key"), F.count("*").alias("n_core"))
         .select("cluster_key", "n_core")

@@ -15,13 +15,21 @@ from __future__ import annotations
 import numpy as np
 
 
-def dbscan_labels(coords: np.ndarray, epsilon: float, min_samples: int) -> np.ndarray:
-    """Cluster labels (int64): -1 noise, else 0..k in first-core-seen order."""
+def dbscan_labels(
+    coords: np.ndarray, epsilon: float, min_samples: int, return_core: bool = False
+) -> np.ndarray:
+    """Cluster labels (int64): -1 noise, else 0..k in first-core-seen order.
+
+    With ``return_core`` also returns the boolean core mask (|N_eps(p)| >=
+    min_samples, counting p itself) — the expansion loop already computes
+    every point's neighborhood, so this is free.
+    """
     coords = np.asarray(coords, dtype=np.float64)
     n = len(coords)
     labels = np.full(n, -2, dtype=np.int64)  # -2 = unvisited
+    core = np.zeros(n, dtype=bool)
     if n == 0:
-        return labels
+        return (labels, core) if return_core else labels
     eps2 = epsilon * epsilon
 
     # neighbor lists via chunked pairwise distances (fine for per-cell sizes)
@@ -37,6 +45,7 @@ def dbscan_labels(coords: np.ndarray, epsilon: float, min_samples: int) -> np.nd
         if len(nbrs) < min_samples:
             labels[i] = -1
             continue
+        core[i] = True
         labels[i] = cluster
         seeds = list(nbrs[nbrs != i])
         k = 0
@@ -50,9 +59,10 @@ def dbscan_labels(coords: np.ndarray, epsilon: float, min_samples: int) -> np.nd
             labels[j] = cluster
             nbrs_j = neighbors(j)
             if len(nbrs_j) >= min_samples:
+                core[j] = True
                 seeds.extend(nbrs_j[labels[nbrs_j] == -2])
         cluster += 1
-    return labels
+    return (labels, core) if return_core else labels
 
 
 def lof_scores(coords: np.ndarray, k: int) -> np.ndarray:

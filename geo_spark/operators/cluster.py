@@ -222,12 +222,18 @@ def dbscan(
     lat_col: str = "lat",
     res: int | None = None,
     driver_merge_threshold: int = 100_000,
+    include_core: bool = False,
 ) -> DataFrame:
     """(id, cluster bigint) — cluster ids canonical & deterministic, noise=-1.
 
     ``driver_merge_threshold``: witness-edge count above which the cross-cell
     merge runs as distributed connected components instead of a driver
     union-find (0 forces the distributed path). Both give identical ids.
+
+    ``include_core`` adds an exact ``is_core`` boolean (|N_eps| >=
+    min_samples). It is decided at the point's home cell, where the full
+    epsilon-neighborhood is present by the halo-replication invariant, and
+    the local kernel already computes it — no extra join or shuffle.
     """
     if res is None:
         res = _res_for_epsilon(epsilon)
@@ -240,18 +246,20 @@ def dbscan(
         from geo_spark.kernels.cluster import dbscan_labels
 
         coords = pdf[[lon_col, lat_col]].to_numpy(dtype=np.float64)
-        labels = dbscan_labels(coords, epsilon, min_samples)
+        labels, core = dbscan_labels(coords, epsilon, min_samples, return_core=True)
         return pd.DataFrame(
             {
                 id_col: pdf[id_col],
                 "cell": pdf["_cell"],
                 "is_home": pdf["_is_home"],
                 "label": labels,
+                "core": core,
             }
         )
 
     labeled = pts.groupBy("_cell").applyInPandas(
-        local, schema=f"{id_col} long, cell long, is_home boolean, label long"
+        local,
+        schema=f"{id_col} long, cell long, is_home boolean, label long, core boolean",
     ).cache()
 
     # witness edges: same point non-noise in two different cells
@@ -286,11 +294,14 @@ def dbscan(
     per_point = with_gid.groupBy(id_col).agg(
         F.min(F.when(F.col("is_home") & (F.col("label") >= 0), F.col("gid"))).alias("home_gid"),
         F.min(F.when(F.col("label") >= 0, F.col("gid"))).alias("any_gid"),
+        F.max(F.when(F.col("is_home"), F.col("core"))).alias("is_core"),
     )
-    return per_point.select(
+    out = per_point.select(
         F.col(id_col),
         F.coalesce(F.col("home_gid"), F.col("any_gid"), F.lit(-1)).alias("cluster"),
+        F.coalesce(F.col("is_core"), F.lit(False)).alias("is_core"),
     )
+    return out if include_core else out.drop("is_core")
 
 
 def lof(
