@@ -890,6 +890,146 @@ _LINE_MEASURES_ORACLE = """
 """
 
 
+def _q_densify_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # metric-parameterized densify + segmentize (line_measures/densify.rs:139
+    # — per-segment ceil(metric_dist/max) splits at equal-ratio slerp points;
+    # linestring_segment.rs:43 haversine segmentize): a 3-vertex lon/lat
+    # track per doc is densified so no piece exceeds 300 km haversine and
+    # split into 7 equal-haversine-length pieces; coordinate SUMS pin every
+    # interpolated vertex, so the whole great-circle interpolation path is
+    # value-hash gated against DuckDB's re-derivation of the same slerp.
+    from geo_spark.operators.scalar import densify_metric, segmentize_metric
+
+    pts = _derived_points(spark, sf_dir)
+    track = pts.select(
+        "doc_id",
+        F.expr(
+            "array(struct(lon AS x, lat / 2 AS y),"
+            " struct(lon AS x, lat / 2 + 15.0d AS y),"
+            " struct(lon * CAST(0.9 AS DOUBLE) AS x, lat / 2 + 15.0d AS y))"
+        ).alias("line"),
+    )
+    dn = densify_metric(F.col("line"), 300_000.0, "haversine")
+    sg = segmentize_metric(F.col("line"), 7, "haversine")
+
+    def _sum(col, field):
+        return F.aggregate(col, F.lit(0.0), lambda acc, p: acc + p[field])
+
+    return track.select(
+        "doc_id",
+        F.size(dn).alias("n_dense"),
+        F.round(_sum(dn, "x"), 3).alias("dense_sum_x"),
+        F.round(_sum(dn, "y"), 3).alias("dense_sum_y"),
+        F.round(_sum(sg, "x"), 3).alias("seg_sum_x"),
+        F.round(_sum(sg, "y"), 3).alias("seg_sum_y"),
+    )
+
+
+# DuckDB twin: same slerp (sin((1-f)d)/sin d weights on the unit sphere),
+# same ceil(haversine_m/300km) split counts, same equal-cumulative-length
+# breakpoint rule — list comprehension over range() per segment.
+def _densify_haversine_oracle_sql() -> str:
+    R = "6371008.8"
+
+    def hav_d(x1, y1, x2, y2):
+        return (
+            f"2.0 * ASIN(SQRT(LEAST("
+            f"POW(SIN(RADIANS(({y2}) - ({y1})) / 2.0), 2)"
+            f" + COS(RADIANS({y1})) * COS(RADIANS({y2}))"
+            f" * POW(SIN(RADIANS(({x2}) - ({x1})) / 2.0), 2), 1.0)))"
+        )
+
+    # per-segment trig is precomputed in the CTEs; the slerp weights
+    # sin((1-f)d)/sin d and sin(fd)/sin d are written inline.
+    return f"""
+    WITH p AS ({_PTS_CTE}),
+    t AS (
+      SELECT doc_id,
+             lon AS x1, lat / 2 AS y1,
+             lon AS x2, lat / 2 + CAST(15.0 AS DOUBLE) AS y2,
+             lon * CAST(0.9 AS DOUBLE) AS x3, lat / 2 + CAST(15.0 AS DOUBLE) AS y3
+      FROM p
+    ),
+    seg AS (
+      SELECT doc_id, x1, y1, x2, y2, x3, y3,
+             {hav_d('x1', 'y1', 'x2', 'y2')} AS d1,
+             {hav_d('x2', 'y2', 'x3', 'y3')} AS d2
+      FROM t
+    ),
+    n AS (
+      SELECT *, {R} * d1 AS m1, {R} * d2 AS m2,
+             GREATEST(CAST(CEIL({R} * d1 / 300000.0) AS BIGINT), 1) AS n1,
+             GREATEST(CAST(CEIL({R} * d2 / 300000.0) AS BIGINT), 1) AS n2
+      FROM seg
+    ),
+    pts_dense AS (
+      SELECT doc_id, n1, n2,
+        -- intermediates of segment 1 (k = 1..n1-1) then segment 2
+        list_concat(
+          list_transform(range(1, CAST(n1 AS INT)), k -> struct_pack(
+            ax := SIN((1.0 - CAST(k AS DOUBLE) / n1) * d1) / SIN(d1) * COS(RADIANS(y1)) * COS(RADIANS(x1))
+                + SIN((CAST(k AS DOUBLE) / n1) * d1) / SIN(d1) * COS(RADIANS(y2)) * COS(RADIANS(x2)),
+            ay := SIN((1.0 - CAST(k AS DOUBLE) / n1) * d1) / SIN(d1) * COS(RADIANS(y1)) * SIN(RADIANS(x1))
+                + SIN((CAST(k AS DOUBLE) / n1) * d1) / SIN(d1) * COS(RADIANS(y2)) * SIN(RADIANS(x2)),
+            az := SIN((1.0 - CAST(k AS DOUBLE) / n1) * d1) / SIN(d1) * SIN(RADIANS(y1))
+                + SIN((CAST(k AS DOUBLE) / n1) * d1) / SIN(d1) * SIN(RADIANS(y2)))),
+          list_transform(range(1, CAST(n2 AS INT)), k -> struct_pack(
+            ax := SIN((1.0 - CAST(k AS DOUBLE) / n2) * d2) / SIN(d2) * COS(RADIANS(y2)) * COS(RADIANS(x2))
+                + SIN((CAST(k AS DOUBLE) / n2) * d2) / SIN(d2) * COS(RADIANS(y3)) * COS(RADIANS(x3)),
+            ay := SIN((1.0 - CAST(k AS DOUBLE) / n2) * d2) / SIN(d2) * COS(RADIANS(y2)) * SIN(RADIANS(x2))
+                + SIN((CAST(k AS DOUBLE) / n2) * d2) / SIN(d2) * COS(RADIANS(y3)) * SIN(RADIANS(x3)),
+            az := SIN((1.0 - CAST(k AS DOUBLE) / n2) * d2) / SIN(d2) * SIN(RADIANS(y2))
+                + SIN((CAST(k AS DOUBLE) / n2) * d2) / SIN(d2) * SIN(RADIANS(y3))))
+        ) AS inter,
+        x1, y1, x2, y2, x3, y3, d1, d2, m1, m2
+      FROM n
+    ),
+    dense AS (
+      SELECT doc_id, n1, n2, x1, y1, x2, y2, x3, y3, d1, d2, m1, m2,
+        CAST(1 + n1 + n2 AS INT) AS n_dense,
+        x1 + x2 + x3 + COALESCE(list_sum(list_transform(inter,
+            s -> DEGREES(ATAN2(s.ay, s.ax)))), 0.0) AS dense_sum_x,
+        y1 + y2 + y3 + COALESCE(list_sum(list_transform(inter,
+            s -> DEGREES(ATAN2(s.az, SQRT(s.ax * s.ax + s.ay * s.ay))))), 0.0) AS dense_sum_y
+      FROM pts_dense
+    ),
+    brk AS (
+      SELECT doc_id, n_dense, dense_sum_x, dense_sum_y,
+        list_transform(range(1, 7), j -> struct_pack(
+          sx := CASE WHEN CAST(j AS DOUBLE) * ((m1 + m2) / 7.0) < m1 THEN x1 ELSE x2 END,
+          sy := CASE WHEN CAST(j AS DOUBLE) * ((m1 + m2) / 7.0) < m1 THEN y1 ELSE y2 END,
+          ex := CASE WHEN CAST(j AS DOUBLE) * ((m1 + m2) / 7.0) < m1 THEN x2 ELSE x3 END,
+          ey := CASE WHEN CAST(j AS DOUBLE) * ((m1 + m2) / 7.0) < m1 THEN y2 ELSE y3 END,
+          dd := CASE WHEN CAST(j AS DOUBLE) * ((m1 + m2) / 7.0) < m1 THEN d1 ELSE d2 END,
+          f  := CASE WHEN CAST(j AS DOUBLE) * ((m1 + m2) / 7.0) < m1
+                     THEN (CAST(j AS DOUBLE) * ((m1 + m2) / 7.0)) / m1
+                     ELSE (CAST(j AS DOUBLE) * ((m1 + m2) / 7.0) - m1) / m2 END
+        )) AS bspec,
+        x1, y1, x3, y3
+      FROM dense
+    ),
+    bpts AS (
+      SELECT doc_id, n_dense, dense_sum_x, dense_sum_y, x1, y1, x3, y3,
+        list_transform(bspec, s -> struct_pack(
+          ax := SIN((1.0 - s.f) * s.dd) / SIN(s.dd) * COS(RADIANS(s.sy)) * COS(RADIANS(s.sx))
+              + SIN(s.f * s.dd) / SIN(s.dd) * COS(RADIANS(s.ey)) * COS(RADIANS(s.ex)),
+          ay := SIN((1.0 - s.f) * s.dd) / SIN(s.dd) * COS(RADIANS(s.sy)) * SIN(RADIANS(s.sx))
+              + SIN(s.f * s.dd) / SIN(s.dd) * COS(RADIANS(s.ey)) * SIN(RADIANS(s.ex)),
+          az := SIN((1.0 - s.f) * s.dd) / SIN(s.dd) * SIN(RADIANS(s.sy))
+              + SIN(s.f * s.dd) / SIN(s.dd) * SIN(RADIANS(s.ey)))) AS bp
+      FROM brk
+    )
+    SELECT doc_id, n_dense,
+      ROUND(dense_sum_x, 3) AS dense_sum_x,
+      ROUND(dense_sum_y, 3) AS dense_sum_y,
+      ROUND(x1 + x3 + list_sum(list_transform(bp,
+          s -> DEGREES(ATAN2(s.ay, s.ax)))), 3) AS seg_sum_x,
+      ROUND(y1 + y3 + list_sum(list_transform(bp,
+          s -> DEGREES(ATAN2(s.az, SQRT(s.ax * s.ax + s.ay * s.ay))))), 3) AS seg_sum_y
+    FROM bpts
+"""
+
+
 def _affine_matrices():
     import numpy as np
 
@@ -1677,6 +1817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simplify_rdp_line": _q_simplify_rdp,
         "simplify_vw_line": _q_simplify_vw,
         "line_measures_ops": _q_line_measures,
+        "densify_haversine_track": _q_densify_haversine,
         "affine_roundtrip": _q_affine,
         "hausdorff_frechet_pairs": _q_hausdorff_frechet,
         "geometry_distance_pairs": _q_geometry_distance,
@@ -2178,6 +2319,7 @@ def oracle_sql() -> dict[str, str]:
         "simplify_rdp_line": _SIMPLIFY_ORACLE,
         "simplify_vw_line": _SIMPLIFY_ORACLE,
         "line_measures_ops": _LINE_MEASURES_ORACLE,
+        "densify_haversine_track": _densify_haversine_oracle_sql(),
         "affine_roundtrip": _affine_oracle_sql(),
         "hausdorff_frechet_pairs": _HAUSDORFF_ORACLE,
         "geometry_distance_pairs": _GEOM_DIST_ORACLE,

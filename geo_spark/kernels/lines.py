@@ -245,6 +245,214 @@ def segmentize(coords: np.ndarray, n_segments: int) -> np.ndarray:
     )
 
 
+# --- metric-parameterized densify / segmentize --------------------------------
+#
+# Reference parity: geo/src/algorithm/line_measures/densify.rs:139-167
+# (per-segment num_segments = ceil(metric.distance / max_segment_length),
+# intermediates at equal ratios via metric.point_at_ratio_between) and
+# linestring_segment.rs:43 (LineStringSegmentizeHaversine). Units are METERS
+# for the geographic metrics, coordinate units for 'euclidean'.
+
+
+def _metric_segment_fns(metric: str):
+    """(pair_distance, point_at_ratio) for a metric-space name.
+
+    ``pair_distance(lon1, lat1, lon2, lat2) -> meters`` (vectorized) and
+    ``point_at_ratio(lon1, lat1, lon2, lat2, dist, ratios) -> (lon, lat)``
+    where every argument is already expanded per output point. Haversine
+    interpolates by great-circle slerp, geodesic by the Karney direct
+    solution at ``ratio * s12`` along the initial azimuth, rhumb along the
+    loxodrome at constant bearing.
+    """
+    if metric == "haversine":
+        from geo_spark.kernels.geom2 import haversine_intermediate
+        from geo_spark.kernels.measures import haversine_distance
+
+        def at_ratio(lon1, lat1, lon2, lat2, dist, ratios):
+            # slerp handles vector ratios: sin((1-f)d)/sin(d) is elementwise
+            l1, p1 = np.radians(lon1), np.radians(lat1)
+            l2, p2 = np.radians(lon2), np.radians(lat2)
+            d = haversine_distance(lon1, lat1, lon2, lat2, radius=1.0)
+            f = ratios
+            with np.errstate(invalid="ignore", divide="ignore"):
+                a = np.where(d == 0, 1 - f, np.sin((1 - f) * d) / np.sin(d))
+                b = np.where(d == 0, f, np.sin(f * d) / np.sin(d))
+            x = a * np.cos(p1) * np.cos(l1) + b * np.cos(p2) * np.cos(l2)
+            y = a * np.cos(p1) * np.sin(l1) + b * np.cos(p2) * np.sin(l2)
+            z = a * np.sin(p1) + b * np.sin(p2)
+            return (
+                np.degrees(np.arctan2(y, x)),
+                np.degrees(np.arctan2(z, np.hypot(x, y))),
+            )
+
+        _ = haversine_intermediate  # single-point twin, kept for parity tests
+        return haversine_distance, at_ratio
+    if metric == "geodesic":
+        from geo_spark.kernels.geodesic import (
+            geodesic_direct_batch,
+            geodesic_inverse_batch,
+        )
+
+        def dist(lon1, lat1, lon2, lat2):
+            return geodesic_inverse_batch(lat1, lon1, lat2, lon2)[0]
+
+        def at_ratio(lon1, lat1, lon2, lat2, dist, ratios):
+            _, azi1, _ = geodesic_inverse_batch(lat1, lon1, lat2, lon2)
+            lat, lon, _ = geodesic_direct_batch(lat1, lon1, azi1, dist * ratios)
+            return lon, lat
+
+        return dist, at_ratio
+    if metric == "rhumb":
+        from geo_spark.kernels.geom2 import rhumb_destination
+        from geo_spark.kernels.measures import rhumb_bearing, rhumb_distance
+
+        def at_ratio(lon1, lat1, lon2, lat2, dist, ratios):
+            brg = rhumb_bearing(lon1, lat1, lon2, lat2)
+            return rhumb_destination(lon1, lat1, brg, dist * ratios)
+
+        return rhumb_distance, at_ratio
+    if metric == "euclidean":
+
+        def dist(lon1, lat1, lon2, lat2):
+            return np.hypot(
+                np.asarray(lon2, dtype=np.float64) - lon1,
+                np.asarray(lat2, dtype=np.float64) - lat1,
+            )
+
+        def at_ratio(lon1, lat1, lon2, lat2, dist, ratios):
+            return lon1 + (lon2 - lon1) * ratios, lat1 + (lat2 - lat1) * ratios
+
+        return dist, at_ratio
+    raise ValueError(f"unknown metric: {metric}")
+
+
+def densify_metric(
+    coords: np.ndarray, max_segment_length: float, metric: str = "haversine"
+) -> np.ndarray:
+    """Densify a lon/lat polyline so no piece exceeds ``max_segment_length``
+    measured in the metric space; inserted vertices lie ON the metric's
+    connecting curve at equal-ratio spacing, so every piece of an original
+    segment has metric length exactly seg_len/ceil(seg_len/max).
+
+    Vectorized across all inserted points of all segments (one batch call
+    into the metric kernel, no per-vertex Python loop).
+    """
+    if max_segment_length <= 0:
+        raise ValueError("max_segment_length must be > 0")
+    coords = np.asarray(coords, dtype=np.float64)
+    if len(coords) < 2:
+        return coords.copy()
+    pair_distance, at_ratio = _metric_segment_fns(metric)
+    a, b = coords[:-1], coords[1:]
+    seg = pair_distance(a[:, 0], a[:, 1], b[:, 0], b[:, 1])
+    n_splits = np.maximum(np.ceil(seg / max_segment_length).astype(np.int64), 1)
+    n_inter = n_splits - 1  # intermediates per segment
+    total_inter = int(n_inter.sum())
+    n_out = len(coords) + total_inter
+    out = np.empty((n_out, 2), dtype=np.float64)
+    # output slot of each original vertex: 0, then cumulative(1 + n_inter)
+    orig_pos = np.concatenate([[0], np.cumsum(1 + n_inter)])
+    out[orig_pos] = coords
+    if total_inter:
+        seg_idx = np.repeat(np.arange(len(a)), n_inter)
+        # ratio k/n for k in 1..n-1 within each segment
+        k = np.arange(total_inter) - np.repeat(
+            np.concatenate([[0], np.cumsum(n_inter)[:-1]]), n_inter
+        ) + 1
+        ratios = k / n_splits[seg_idx]
+        lon, lat = at_ratio(
+            a[seg_idx, 0], a[seg_idx, 1], b[seg_idx, 0], b[seg_idx, 1],
+            seg[seg_idx], ratios,
+        )
+        inter_pos = np.setdiff1d(
+            np.arange(n_out), orig_pos, assume_unique=True
+        )
+        out[inter_pos, 0] = lon
+        out[inter_pos, 1] = lat
+    return out
+
+
+def segmentize_metric(
+    coords: np.ndarray, n_segments: int, metric: str = "haversine"
+) -> np.ndarray:
+    """n+1 breakpoints splitting the polyline into n pieces of equal METRIC
+    length (haversine twin of ``segmentize``; linestring_segment.rs:43).
+
+    Breakpoints are found by walking the per-segment metric lengths and
+    interpolating inside the straddling segment along the metric's curve.
+    """
+    if n_segments < 1:
+        raise ValueError("n_segments must be >= 1")
+    coords = np.asarray(coords, dtype=np.float64)
+    if len(coords) < 2:
+        return np.repeat(coords[:1], n_segments + 1, axis=0)
+    pair_distance, at_ratio = _metric_segment_fns(metric)
+    a, b = coords[:-1], coords[1:]
+    seg = pair_distance(a[:, 0], a[:, 1], b[:, 0], b[:, 1])
+    cum = np.concatenate([[0.0], np.cumsum(seg)])
+    total = float(cum[-1])
+    if total == 0.0:
+        return np.repeat(coords[:1], n_segments + 1, axis=0)
+    targets = np.arange(1, n_segments) * (total / n_segments)
+    si = np.clip(np.searchsorted(cum, targets, side="right") - 1, 0, len(seg) - 1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ratios = np.where(seg[si] > 0, (targets - cum[si]) / seg[si], 0.0)
+    lon, lat = at_ratio(
+        a[si, 0], a[si, 1], b[si, 0], b[si, 1], seg[si], ratios
+    )
+    out = np.empty((n_segments + 1, 2), dtype=np.float64)
+    out[0] = coords[0]
+    out[-1] = coords[-1]
+    out[1:-1, 0] = lon
+    out[1:-1, 1] = lat
+    return out
+
+
+def segmentize_metric_pieces(
+    coords: np.ndarray, n_segments: int, metric: str = "haversine"
+) -> list:
+    """n equal-METRIC-length sub-linestrings (list of (k,2) arrays), each
+    retaining the original interior vertices it spans — the reference's
+    MultiLineString shape (linestring_segment.rs:43,107: cut the densified
+    line at cumulative-length boundaries).
+
+    Along-path metric length of every piece is total/n exactly (breakpoints
+    interpolated on the metric curve inside the straddling segment).
+    """
+    if n_segments < 1:
+        raise ValueError("n_segments must be >= 1")
+    coords = np.asarray(coords, dtype=np.float64)
+    if len(coords) < 2 or n_segments == 1:
+        return [coords.copy()]
+    breaks = segmentize_metric(coords, n_segments, metric)  # n+1 breakpoints
+    pair_distance, _ = _metric_segment_fns(metric)
+    a, b = coords[:-1], coords[1:]
+    seg = pair_distance(a[:, 0], a[:, 1], b[:, 0], b[:, 1])
+    cum = np.concatenate([[0.0], np.cumsum(seg)])
+    total = float(cum[-1])
+    if total == 0.0:
+        return [coords[:1].repeat(2, axis=0) for _ in range(n_segments)]
+    targets = np.arange(1, n_segments) * (total / n_segments)
+    # index of the segment each breakpoint falls in (same rule as above)
+    si = np.clip(np.searchsorted(cum, targets, side="right") - 1, 0, len(seg) - 1)
+    pieces = []
+    prev_pt = coords[0]
+    prev_vertex = 0  # next original vertex index not yet emitted
+    for p in range(n_segments - 1):
+        piece = [prev_pt]
+        # interior original vertices up to and including segment si[p]'s start
+        end_vertex = int(si[p])  # vertices 1..end_vertex lie before the break
+        for v in range(prev_vertex + 1, end_vertex + 1):
+            piece.append(coords[v])
+        piece.append(breaks[p + 1])
+        pieces.append(np.asarray(piece, dtype=np.float64))
+        prev_pt = breaks[p + 1]
+        prev_vertex = end_vertex
+    tail = [prev_pt] + [coords[v] for v in range(prev_vertex + 1, len(coords))]
+    pieces.append(np.asarray(tail, dtype=np.float64))
+    return pieces
+
+
 # --- curve similarity ---------------------------------------------------------
 
 def frechet_distance(a: np.ndarray, b: np.ndarray) -> float:

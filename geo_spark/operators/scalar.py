@@ -71,6 +71,40 @@ def densify(coords: Column, max_segment_length) -> Column:
     return _lift_coords_fn(_densify)(coords, F.lit(max_segment_length).cast("double"))
 
 
+def densify_metric(coords: Column, max_segment_length, metric: str = "haversine") -> Column:
+    """Metric-space densify (meters for haversine/geodesic/rhumb) —
+    line_measures/densify.rs:139, legacy densify_haversine.rs."""
+    from geo_spark.kernels.lines import densify_metric as _k
+
+    fn = lambda c, m: _k(c, m, metric)  # noqa: E731 — close over the metric name
+    return _lift_coords_fn(fn)(coords, F.lit(max_segment_length).cast("double"))
+
+
+def segmentize_metric(coords: Column, n_segments: int, metric: str = "haversine") -> Column:
+    """n+1 breakpoints at equal metric-length spacing along the line
+    (linestring_segment.rs:43 haversine twin)."""
+    from geo_spark.kernels.lines import segmentize_metric as _k
+
+    fn = lambda c, n: _k(c, int(n), metric)  # noqa: E731
+    return _lift_coords_fn(fn)(coords, F.lit(int(n_segments)))
+
+
+def segmentize_metric_pieces(coords: Column, n_segments: int, metric: str = "haversine") -> Column:
+    """Equal metric-length sub-linestrings (the reference's MultiLineString
+    shape, interior vertices retained) as array<array<struct<x,y>>>."""
+    from geo_spark.kernels.lines import segmentize_metric_pieces as _k
+
+    @F.pandas_udf(T.ArrayType(COORDS_TYPE))
+    def udf(arrs: pd.Series, ns: pd.Series) -> pd.Series:
+        out = []
+        for i, arr in enumerate(arrs):
+            pieces = _k(_to_np(arr), int(ns.iloc[i]), metric)
+            out.append([_to_rows(p) for p in pieces])
+        return pd.Series(out)
+
+    return udf(coords, F.lit(int(n_segments)))
+
+
 def remove_repeated(coords: Column) -> Column:
     """Pure SQL: drop consecutive duplicates with a filter over indices."""
     c = coords

@@ -246,3 +246,88 @@ def test_vw_preserve_no_op_below_threshold():
     ls = _arr([(0, 0), (10, 10), (20, 0), (30, 10), (40, 0)])
     got = visvalingam_preserve(ls, 1e-9)
     assert np.array_equal(got, ls)
+
+
+# --- metric-parameterized densify / segmentize --------------------------------
+
+
+def test_densify_haversine_reference_doctest():
+    # densify.rs doctest: LINESTRING(0 0, 0 6, 1 7) @ 200 km haversine
+    from geo_spark.kernels.lines import densify_metric
+
+    ls = _arr([(0, 0), (0, 6), (1, 7)])
+    got = densify_metric(ls, 200_000.0, "haversine")
+    exp = _arr([(0, 0), (0, 1.5), (0, 3), (0, 4.5), (0, 6), (1, 7)])
+    assert np.allclose(got, exp, atol=1e-14)
+
+
+def test_densify_euclidean_reference_doctest():
+    # densify.rs doctest: LINESTRING(0 0, 0 6, 1 7) @ max 2.0 euclidean
+    from geo_spark.kernels.lines import densify_metric
+
+    ls = _arr([(0, 0), (0, 6), (1, 7)])
+    got = densify_metric(ls, 2.0, "euclidean")
+    exp = _arr([(0, 0), (0, 2), (0, 4), (0, 6), (1, 7)])
+    assert np.allclose(got, exp, atol=1e-12)
+
+
+def test_densify_metric_piece_lengths_bounded():
+    # every output piece must be <= max_segment_length in its own metric,
+    # and the along-path length must be preserved (pieces of a segment lie
+    # on the metric curve at equal spacing)
+    from geo_spark.kernels.lines import densify_metric
+    from geo_spark.kernels.measures import haversine_distance, rhumb_distance
+    from geo_spark.kernels.geodesic import geodesic_inverse_batch
+
+    ls = _arr([(-73.0, 40.0), (-10.0, 51.0), (2.0, 48.0)])
+    for metric, pair in (
+        ("haversine", lambda a, b: haversine_distance(a[:, 0], a[:, 1], b[:, 0], b[:, 1])),
+        ("rhumb", lambda a, b: rhumb_distance(a[:, 0], a[:, 1], b[:, 0], b[:, 1])),
+        ("geodesic", lambda a, b: geodesic_inverse_batch(a[:, 1], a[:, 0], b[:, 1], b[:, 0])[0]),
+    ):
+        got = densify_metric(ls, 250_000.0, metric)
+        lens = np.asarray(pair(got[:-1], got[1:]))
+        assert lens.max() <= 250_000.0 * (1 + 1e-9), metric
+        orig = np.asarray(pair(ls[:-1], ls[1:])).sum()
+        assert abs(lens.sum() - orig) / orig < 1e-9, metric
+
+
+def test_segmentize_metric_equal_pieces():
+    # pieces (with interior vertices) have identical along-path metric length
+    from geo_spark.kernels.lines import segmentize_metric, segmentize_metric_pieces
+    from geo_spark.kernels.measures import haversine_distance
+
+    ls = _arr([(0, 0), (0, 6), (1, 7), (4, 9)])
+    pieces = segmentize_metric_pieces(ls, 5, "haversine")
+    assert len(pieces) == 5
+    lens = np.array(
+        [
+            haversine_distance(p[:-1, 0], p[:-1, 1], p[1:, 0], p[1:, 1]).sum()
+            for p in pieces
+        ]
+    )
+    assert (lens.max() - lens.min()) / lens.mean() < 1e-12
+    # pieces chain: piece[i] ends where piece[i+1] starts; ends preserved
+    for i in range(4):
+        assert np.array_equal(pieces[i][-1], pieces[i + 1][0])
+    assert np.array_equal(pieces[0][0], ls[0])
+    assert np.array_equal(pieces[-1][-1], ls[-1])
+    # breakpoints variant agrees with the piece boundaries
+    breaks = segmentize_metric(ls, 5, "haversine")
+    got_breaks = np.array([p[0] for p in pieces] + [pieces[-1][-1]])
+    assert np.allclose(breaks, got_breaks, atol=1e-12)
+
+
+def test_densify_geodesic_matches_direct():
+    # geodesic intermediates lie on the Karney geodesic: re-measuring each
+    # piece with the inverse solution gives seg_len/n to sub-mm accuracy
+    from geo_spark.kernels.lines import densify_metric
+    from geo_spark.kernels.geodesic import geodesic_inverse_batch
+
+    ls = _arr([(-73.0, 40.0), (2.3, 48.8)])  # ~5,850 km NYC->Paris
+    got = densify_metric(ls, 1_000_000.0, "geodesic")
+    total = geodesic_inverse_batch([40.0], [-73.0], [48.8], [2.3])[0][0]
+    n = int(np.ceil(total / 1_000_000.0))
+    assert len(got) == n + 1
+    lens = geodesic_inverse_batch(got[:-1, 1], got[:-1, 0], got[1:, 1], got[1:, 0])[0]
+    assert np.allclose(lens, total / n, atol=1e-3)
