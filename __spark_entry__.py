@@ -400,7 +400,7 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5, hasher="md5_60")
 
 
-def _minhash_oracle_sql() -> str:
+def _minhash_oracle_sql(source: str = "documents") -> str:
     """DuckDB twin of minhash_lsh_pairs(threshold=0.5, hasher='md5_60').
 
     Rebuilds the signature matrix from scratch: 3-gram md5_60 hashes, the 64
@@ -408,6 +408,8 @@ def _minhash_oracle_sql() -> str:
     literals), and numpy's wrap-mod-2^64 arithmetic emulated in HUGEINT.
     A pair qualifies when some 4-row band matches exactly (band equality ⟺
     Spark's band-hash equality modulo 2^-32 collisions) and est ≥ 0.5.
+    ``source``: relation with (doc_id, text) to pair over (the tiered-dedup
+    oracle passes its survivor CTE).
     """
     import numpy as np
 
@@ -430,7 +432,7 @@ def _minhash_oracle_sql() -> str:
     return f"""
         WITH toks AS (
           SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
-          FROM documents
+          FROM {source}
         ),
         g AS (
           SELECT doc_id,
@@ -455,6 +457,111 @@ def _minhash_oracle_sql() -> str:
         FROM sig a JOIN sig b ON b.doc_id > a.doc_id
         WHERE ({band}) AND {est} >= 0.5
     """
+
+
+def _simhash_pairs_sql(source: str = "documents", max_hamming: int = 6) -> str:
+    """DuckDB twin of simhash_near_pairs: md5_60 token hashes → per-bit sign
+    votes → 60-bit fingerprint; brute-force pairs at Hamming ≤ max_hamming
+    (the engine's pigeonhole banding has exact recall, so set equality
+    holds). ``source``: any (doc_id, text) relation."""
+    return f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS t
+              FROM {source}
+            ),
+            th AS (
+              SELECT doc_id,
+                     UNNEST(list_transform(t,
+                       s -> CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT))) AS h
+              FROM toks
+            ),
+            votes AS (
+              SELECT doc_id, bb.b AS b,
+                     CAST(SUM(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END)
+                          AS BIGINT) AS v
+              FROM th, (SELECT UNNEST(range(0, 60)) AS b) bb
+              GROUP BY doc_id, bb.b
+            ),
+            fp AS (
+              SELECT doc_id,
+                     CAST(SUM(CASE WHEN v > 0
+                                   THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                          AS BIGINT) AS simhash
+              FROM votes GROUP BY doc_id
+            ),
+            allfp AS (
+              SELECT d.doc_id, CAST(COALESCE(f.simhash, 0) AS BIGINT) AS simhash
+              FROM {source} d LEFT JOIN fp f USING (doc_id)
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+            FROM allfp a JOIN allfp b ON b.doc_id > a.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+def _q_dedup_tiered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tiered dedup lineage (exact → simhash → minhash+Jaccard-verify, each
+    # tier only over prior survivors): per-doc (tier, dup_of) is fully
+    # re-derived by DuckDB from the same md5_60 hash arithmetic, so the
+    # entire cascade — including the survivor-filter between tiers — is
+    # value-hash gated
+    from geo_spark.operators.dedup import dedup_tiered
+
+    out = dedup_tiered(_docs(spark, sf_dir), hasher="md5_60")
+    return out.select(
+        "doc_id",
+        F.coalesce("tier", F.lit("keep")).alias("tier"),
+        F.coalesce("dup_of", F.lit(-1)).cast("long").alias("dup_of"),
+    )
+
+
+def _dedup_tiered_oracle_sql() -> str:
+    # nested WITH blocks: DuckDB scopes outer CTEs (s1, s2) into the
+    # embedded simhash/minhash subquery statements
+    return f"""
+    WITH ex AS (
+      SELECT doc_id, text, MIN(doc_id) OVER (PARTITION BY text) AS keep
+      FROM documents
+    ),
+    s1 AS (SELECT doc_id, text FROM ex WHERE keep = doc_id),
+    sp AS ({_simhash_pairs_sql('s1', 6)}),
+    t2 AS (SELECT id_b AS doc_id, MIN(id_a) AS dup_of FROM sp GROUP BY id_b),
+    s2 AS (SELECT doc_id, text FROM s1
+           WHERE doc_id NOT IN (SELECT doc_id FROM t2)),
+    mp AS ({_minhash_oracle_sql('s2')}),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
+                      range(1, len(t) - 1),
+                      i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+                  ELSE [array_to_string(t, ' ')] END AS grams
+      FROM (SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM s2)
+    ),
+    ver AS (
+      SELECT mp.id_a, mp.id_b
+      FROM mp JOIN g ga ON ga.doc_id = mp.id_a
+              JOIN g gb ON gb.doc_id = mp.id_b
+      WHERE CASE WHEN len(ga.grams) + len(gb.grams)
+                      - len(list_intersect(ga.grams, gb.grams)) = 0 THEN 0.0
+                 ELSE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+                      / (len(ga.grams) + len(gb.grams)
+                         - len(list_intersect(ga.grams, gb.grams)))
+            END >= 0.5
+    ),
+    t3 AS (SELECT id_b AS doc_id, MIN(id_a) AS dup_of FROM ver GROUP BY id_b)
+    SELECT e.doc_id,
+           COALESCE(CASE WHEN e.keep <> e.doc_id THEN 'exact' END,
+                    CASE WHEN t2.doc_id IS NOT NULL THEN 'simhash' END,
+                    CASE WHEN t3.doc_id IS NOT NULL THEN 'minhash' END,
+                    'keep') AS tier,
+           CAST(COALESCE(CASE WHEN e.keep <> e.doc_id THEN e.keep END,
+                    t2.dup_of, t3.dup_of, -1) AS BIGINT) AS dup_of
+    FROM ex e LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+"""
 
 
 def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1830,6 +1937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlay_touch_dims": _q_overlay_touch,
         "lof_hotspot": _q_lof_hotspot,
         "dbscan_hotspot": _q_dbscan_hotspot,
+        "dedup_tiered_lineage": _q_dedup_tiered,
         "voronoi_probe_assign": _q_voronoi_probes,
         "lsh_cosine_topk": _q_lsh_cosine,
         "geodesic_roundtrip": _q_geodesic_roundtrip,
@@ -2255,41 +2363,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # simhash re-derived from scratch: md5_60 token hashes → per-bit
         # sign votes → fingerprint; brute-force pairs at Hamming ≤ 6
-        "simhash_near_pairs": """
-            WITH toks AS (
-              SELECT doc_id,
-                     list_filter(string_split(text, ' '), x -> x <> '') AS t
-              FROM documents
-            ),
-            th AS (
-              SELECT doc_id,
-                     UNNEST(list_transform(t,
-                       s -> CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT))) AS h
-              FROM toks
-            ),
-            votes AS (
-              SELECT doc_id, bb.b AS b,
-                     CAST(SUM(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END)
-                          AS BIGINT) AS v
-              FROM th, (SELECT UNNEST(range(0, 60)) AS b) bb
-              GROUP BY doc_id, bb.b
-            ),
-            fp AS (
-              SELECT doc_id,
-                     CAST(SUM(CASE WHEN v > 0
-                                   THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
-                          AS BIGINT) AS simhash
-              FROM votes GROUP BY doc_id
-            ),
-            allfp AS (
-              SELECT d.doc_id, CAST(COALESCE(f.simhash, 0) AS BIGINT) AS simhash
-              FROM documents d LEFT JOIN fp f USING (doc_id)
-            )
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-            FROM allfp a JOIN allfp b ON b.doc_id > a.doc_id
-            WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
-        """,
+        "simhash_near_pairs": _simhash_pairs_sql(),
         # DE-9IM for a 10° square vs itself shifted +5°/+10°/+20° east:
         # overlap / edge-touch / disjoint — closed-form matrices
         "relate_grid_neighbors": """
@@ -2320,6 +2394,7 @@ def oracle_sql() -> dict[str, str]:
         "simplify_vw_line": _SIMPLIFY_ORACLE,
         "line_measures_ops": _LINE_MEASURES_ORACLE,
         "densify_haversine_track": _densify_haversine_oracle_sql(),
+        "dedup_tiered_lineage": _dedup_tiered_oracle_sql(),
         "affine_roundtrip": _affine_oracle_sql(),
         "hausdorff_frechet_pairs": _HAUSDORFF_ORACLE,
         "geometry_distance_pairs": _GEOM_DIST_ORACLE,

@@ -161,6 +161,13 @@ def cosine_near_pairs(
     cosine ≥ 0.9 with 8×8-bit tables is ≈ 99.9%+ at near-dup similarity.
     Buckets over ``max_bucket`` rows (duplicate-heavy shards) take the O(n)
     identical-vector chain path (``banded_candidate_pairs``).
+
+    Pair-completeness guarantee: for buckets within ``max_bucket`` the pair
+    set is complete; oversized (duplicate-heavy) buckets emit a
+    TRANSITIVELY-complete cover — identical-payload chains plus
+    representative cross-pairs — so consumers needing duplicate GROUPS must
+    take connected components over the pairs (as ``dedup_tiered``'s min-id
+    drop rule effectively does), not assume every qualifying pair appears.
     """
     from pyspark.storagelevel import StorageLevel
 

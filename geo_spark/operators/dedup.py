@@ -228,6 +228,13 @@ def minhash_lsh_pairs(
     oracle gate; ``xxhash64`` is the fast default. Buckets larger than
     ``max_bucket`` (duplicate-heavy shards) switch to the O(n)
     identical-signature chain path — see ``banded_candidate_pairs``.
+
+    Pair-completeness guarantee: for buckets within ``max_bucket`` the pair
+    set is complete; oversized (duplicate-heavy) buckets emit a
+    TRANSITIVELY-complete cover — identical-payload chains plus
+    representative cross-pairs — so consumers needing duplicate GROUPS must
+    take connected components over the pairs (as ``dedup_tiered``'s min-id
+    drop rule effectively does), not assume every qualifying pair appears.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -307,6 +314,13 @@ def simhash_near_pairs(
     after the bucket join removes false positives. Buckets larger than
     ``max_bucket`` take the O(n) identical-fingerprint chain path
     (``banded_candidate_pairs``).
+
+    Pair-completeness guarantee: for buckets within ``max_bucket`` the pair
+    set is complete; oversized (duplicate-heavy) buckets emit a
+    TRANSITIVELY-complete cover — identical-payload chains plus
+    representative cross-pairs — so consumers needing duplicate GROUPS must
+    take connected components over the pairs (as ``dedup_tiered``'s min-id
+    drop rule effectively does), not assume every qualifying pair appears.
     """
     if not 0 <= max_hamming <= 63:
         raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
@@ -382,3 +396,75 @@ def ngram_jaccard_pairs(
         .drop("grams_a", "grams_b")
     )
     return out
+
+
+def dedup_tiered(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    simhash_max_hamming: int = 6,
+    minhash_threshold: float = 0.5,
+    jaccard_threshold: float = 0.5,
+    ngram: int = 3,
+    hasher: str = "xxhash64",
+    max_bucket: int = 2000,
+) -> DataFrame:
+    """Cheapest-tier-first dedup lineage: (id, tier, dup_of) per document.
+
+    Runs exact → simhash → minhash(+exact-Jaccard verify), each tier only
+    over the SURVIVORS of the previous tiers, so the cheap hash-groupBy
+    absorbs the duplicate mass before any pair generation and the candidate
+    volume stays O(n) end-to-end on duplicate-heavy corpora (each tier's
+    oversized buckets also take the chain path — ``banded_candidate_pairs``).
+
+    Victim rule (deterministic, min-id-preserving): a doc is dropped by a
+    tier when it is the larger id of any qualifying pair among that tier's
+    input; ``dup_of`` is the smallest such partner. The minimum id of every
+    duplicate group therefore always survives. Like the pair APIs, coverage
+    of a duplicate CLASS is transitive (chain pairs), which is exactly what
+    the drop rule needs.
+
+    tier: null = kept, else 'exact' | 'simhash' | 'minhash'.
+    """
+    base = df.select(id_col, text_col)
+
+    # tier 1 — exact text dedup (one hash-groupBy shuffle)
+    keep = base.groupBy(text_col).agg(F.min(id_col).alias("_keep"))
+    t1 = base.join(keep, text_col).select(
+        id_col,
+        F.when(F.col(id_col) != F.col("_keep"), F.lit("exact")).alias("tier"),
+        F.when(F.col(id_col) != F.col("_keep"), F.col("_keep")).alias("dup_of"),
+        text_col,
+    )
+    s1 = t1.filter(F.col("tier").isNull()).select(id_col, text_col)
+
+    # tier 2 — simhash near-dups among exact survivors
+    sp = simhash_near_pairs(
+        s1, id_col, text_col, max_hamming=simhash_max_hamming, max_bucket=max_bucket
+    )
+    t2 = sp.groupBy(F.col("id_b").alias(id_col)).agg(F.min("id_a").alias("dup_of"))
+    s2 = s1.join(t2, id_col, "left_anti")
+
+    # tier 3 — minhash LSH candidates among tier-2 survivors, kept only when
+    # the exact n-gram Jaccard confirms
+    mp = minhash_lsh_pairs(
+        s2, id_col, text_col,
+        ngram=ngram, threshold=minhash_threshold,
+        hasher=hasher, max_bucket=max_bucket,
+    )
+    verified = ngram_jaccard_pairs(s2, mp.select("id_a", "id_b"), id_col, text_col, ngram)
+    verified = verified.filter(F.col("jaccard") >= jaccard_threshold)
+    t3 = verified.groupBy(F.col("id_b").alias(id_col)).agg(F.min("id_a").alias("dup_of"))
+
+    t2l = t2.select(id_col, F.lit("simhash").alias("tier2"), F.col("dup_of").alias("dup2"))
+    t3l = t3.select(id_col, F.lit("minhash").alias("tier3"), F.col("dup_of").alias("dup3"))
+    return (
+        t1.drop(text_col)
+        .join(t2l, id_col, "left")
+        .join(t3l, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("tier", "tier2", "tier3").alias("tier"),
+            F.coalesce("dup_of", "dup2", "dup3").alias("dup_of"),
+        )
+    )

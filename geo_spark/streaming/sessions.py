@@ -97,21 +97,9 @@ def run_sessionize_available_now(
     emission with the most events per (user_id, session_idx)."""
     from pyspark.sql import Window
 
-    import hashlib
-    import os
-    import shutil
+    from geo_spark.streaming.dedup import as_stream_dir
 
-    # the file-stream source requires a directory; single-file tables are
-    # copied once into a content-keyed temp dir
-    if os.path.isfile(events_path):
-        key = hashlib.md5(
-            f"{events_path}:{os.path.getmtime(events_path)}".encode()
-        ).hexdigest()[:12]
-        d = f"/tmp/geo_spark_stream/{key}"
-        if not os.path.isdir(d):
-            os.makedirs(d, exist_ok=True)
-            shutil.copy(events_path, os.path.join(d, "part-0.parquet"))
-        events_path = d
+    events_path = as_stream_dir(events_path)
     schema = spark.read.parquet(events_path).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:

@@ -145,3 +145,52 @@ def test_bucket_guard_keeps_small_bucket_semantics(spark):
         for r in minhash_lsh_pairs(df, threshold=0.5, max_bucket=100000).collect()
     }
     assert a == b and (100, 101) in a
+
+
+def test_dedup_tiered_cascade(spark):
+    from geo_spark.operators.dedup import dedup_tiered
+
+    # corpus: 0-2 identical ("exact" victims 1,2), 3 a one-word edit of 0
+    # (caught by simhash or minhash), 10-12 unique docs, 20-24 identical
+    # block ("exact" chain)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    rows = [(0, base), (1, base), (2, base), (3, base.replace("zeta", "zetax", 1))]
+    rows += [(10 + i, f"unique document number {i} with words {i * 7} {i * 13}") for i in range(3)]
+    rows += [(20 + i, "another duplicated block of text content") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = dedup_tiered(df, hasher="md5_60").orderBy("doc_id").collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # exact tier: min id of each identical group survives
+    assert by_id[0]["tier"] is None
+    assert by_id[1]["tier"] == "exact" and by_id[1]["dup_of"] == 0
+    assert by_id[2]["tier"] == "exact" and by_id[2]["dup_of"] == 0
+    assert by_id[20]["tier"] is None
+    for i in range(21, 25):
+        assert by_id[i]["tier"] == "exact" and by_id[i]["dup_of"] == 20
+    # the near-dup is dropped by a later tier, attributed to the survivor 0
+    assert by_id[3]["tier"] in ("simhash", "minhash") and by_id[3]["dup_of"] == 0
+    # uniques survive
+    for i in (10, 11, 12):
+        assert by_id[i]["tier"] is None and by_id[i]["dup_of"] is None
+
+
+def test_dedup_tiered_duplicate_heavy_stays_linear(spark):
+    from geo_spark.operators.dedup import dedup_tiered
+
+    # 3k identical docs + 50 distinct: the exact tier absorbs the mass, so
+    # the pair tiers see only 51 docs — the whole cascade returns n rows
+    # and every duplicate points at the min id
+    n = 3000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 50, F.concat(F.lit("distinct doc "), F.col("id")))
+        .otherwise(F.lit("the one true duplicated body of text"))
+        .alias("text"),
+    )
+    out = dedup_tiered(df, hasher="md5_60", max_bucket=100)
+    rows = out.collect()
+    assert len(rows) == n
+    dups = [r for r in rows if r["tier"] == "exact"]
+    assert len(dups) == n - 50 - 1
+    assert all(r["dup_of"] == 50 for r in dups)  # min id of the dup class
