@@ -564,6 +564,58 @@ def _dedup_tiered_oracle_sql() -> str:
 """
 
 
+def _q_gc_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GeometryCollection as a first-class column (operators/gc.py tagged-GC
+    # schema, geometry/mod.rs:50): per doc a GC mixing point + line + square
+    # by doc_id residue exercises all three dimension phases of the
+    # centroid rule (centroid.rs:36 / JTS Centroid) — closed-form oracle
+    from geo_spark.operators.gc import gc_centroid, gc_dimension
+
+    pts = _derived_points(spark, sf_dir)
+    gc = F.expr(
+        """
+        filter(array(
+          named_struct('kind', 'point',
+            'rings', array(array(named_struct('x', lon, 'y', lat)))),
+          CASE WHEN doc_id % 3 <> 2 THEN named_struct('kind', 'linestring',
+            'rings', array(array(named_struct('x', lon, 'y', lat),
+                                 named_struct('x', lon + 1.0d, 'y', lat + 2.0d))))
+          END,
+          CASE WHEN doc_id % 3 = 0 THEN named_struct('kind', 'polygon',
+            'rings', array(array(named_struct('x', lon, 'y', lat),
+                                 named_struct('x', lon + 0.5d, 'y', lat),
+                                 named_struct('x', lon + 0.5d, 'y', lat + 0.5d),
+                                 named_struct('x', lon, 'y', lat + 0.5d),
+                                 named_struct('x', lon, 'y', lat))))
+          END
+        ), m -> m IS NOT NULL)
+        """
+    )
+    df = pts.withColumn("gc", gc)
+    c = gc_centroid(F.col("gc"))
+    return df.select(
+        "doc_id",
+        gc_dimension(F.col("gc")).cast("int").alias("dim"),
+        F.round(c["x"], 6).alias("cx"),
+        F.round(c["y"], 6).alias("cy"),
+    )
+
+
+_GC_CENTROID_ORACLE = f"""
+    WITH p AS ({_PTS_CTE})
+    SELECT doc_id,
+      CAST(CASE WHEN doc_id % 3 = 0 THEN 2
+                WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END AS INT) AS dim,
+      ROUND(CASE WHEN doc_id % 3 = 0 THEN lon + 0.25
+                 WHEN doc_id % 3 = 1 THEN lon + 0.5
+                 ELSE lon END, 6) AS cx,
+      ROUND(CASE WHEN doc_id % 3 = 0 THEN lat + 0.25
+                 WHEN doc_id % 3 = 1 THEN lat + 1.0
+                 ELSE lat END, 6) AS cy
+    FROM p
+"""
+
+
 def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # token-level winnowing (pure SQL, md5_60 hashes) — DuckDB reproduces
     # the identical fingerprint set with list ops, so this is value-hash gated
@@ -1938,6 +1990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lof_hotspot": _q_lof_hotspot,
         "dbscan_hotspot": _q_dbscan_hotspot,
         "dedup_tiered_lineage": _q_dedup_tiered,
+        "gc_centroid_mixed": _q_gc_centroid,
         "voronoi_probe_assign": _q_voronoi_probes,
         "lsh_cosine_topk": _q_lsh_cosine,
         "geodesic_roundtrip": _q_geodesic_roundtrip,
@@ -2395,6 +2448,7 @@ def oracle_sql() -> dict[str, str]:
         "line_measures_ops": _LINE_MEASURES_ORACLE,
         "densify_haversine_track": _densify_haversine_oracle_sql(),
         "dedup_tiered_lineage": _dedup_tiered_oracle_sql(),
+        "gc_centroid_mixed": _GC_CENTROID_ORACLE,
         "affine_roundtrip": _affine_oracle_sql(),
         "hausdorff_frechet_pairs": _HAUSDORFF_ORACLE,
         "geometry_distance_pairs": _GEOM_DIST_ORACLE,

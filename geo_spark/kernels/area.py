@@ -157,3 +157,45 @@ def euclidean_length(coords) -> float:
         return 0.0
     seg = coords[1:] - coords[:-1]
     return float(np.sum(np.hypot(seg[:, 0], seg[:, 1])))
+
+
+def centroid_phases(pts, lines, polys):
+    """Dimension-phase centroid over mixed components — the reference's
+    GeometryCollection rule (``centroid.rs:36`` highest-dimension weighting /
+    JTS Centroid.java): area-weighted if any member has area; else
+    length-weighted over all segments (lines AND zero-area rings); else the
+    average of Point members plus the first points of zero-length sequences.
+
+    ``pts``: [(x, y)], ``lines``: [np (n,2)], ``polys``: [(ext, holes)].
+    Returns (x, y) or None for the empty collection. Certified by the JTS
+    conformance corpus (tools/jts_runner.py delegates here).
+    """
+    num_x = num_y = total_a = 0.0
+    for ext, holes in polys:
+        c = polygon_centroid(ext, holes)
+        w = abs(polygon_signed_area(ext, holes))
+        if c is not None and w > 0:
+            num_x += c[0] * w
+            num_y += c[1] * w
+            total_a += w
+    if total_a > 0:
+        return (num_x / total_a, num_y / total_a)
+    seqs = list(lines) + [r for ext, holes in polys for r in [ext] + list(holes)]
+    num_x = num_y = total_l = 0.0
+    pt_acc = list(pts)
+    for seq in seqs:
+        seq = _ring_arr(seq) if not isinstance(seq, np.ndarray) else np.asarray(seq, float)
+        w = euclidean_length(seq)
+        if w > 0:
+            c = linestring_centroid(seq)
+            num_x += c[0] * w
+            num_y += c[1] * w
+            total_l += w
+        elif len(seq):
+            pt_acc.append((float(seq[0, 0]), float(seq[0, 1])))
+    if total_l > 0:
+        return (num_x / total_l, num_y / total_l)
+    if pt_acc:
+        arr = np.asarray(pt_acc, float)
+        return (float(arr[:, 0].mean()), float(arr[:, 1].mean()))
+    return None

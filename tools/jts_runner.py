@@ -647,46 +647,13 @@ def _geom_components(g):
 
 
 def _centroid_phases(g):
-    """JTS Centroid semantics with dimension-phase fallback: area-weighted
-    if any area; else length-weighted over all segments (line + ring); else
-    the average of Point members and the first points of zero-length
-    sequences (JTS Centroid.java's degenerate contributions)."""
-    from geo_spark.kernels.area import (
-        euclidean_length,
-        linestring_centroid,
-        polygon_centroid,
-        polygon_signed_area,
-    )
+    """JTS Centroid semantics — delegates to the engine kernel
+    (geo_spark.kernels.area.centroid_phases), so every corpus centroid case
+    certifies engine code, not runner-local arithmetic."""
+    from geo_spark.kernels.area import centroid_phases
 
     pts, lines, polys = _geom_components(g)
-    num_x = num_y = total_a = 0.0
-    for ext, holes in polys:
-        c = polygon_centroid(ext, holes)
-        w = abs(polygon_signed_area(ext, holes))
-        if c is not None and w > 0:
-            num_x += c[0] * w
-            num_y += c[1] * w
-            total_a += w
-    if total_a > 0:
-        return (num_x / total_a, num_y / total_a)
-    seqs = list(lines) + [r for ext, holes in polys for r in [ext] + list(holes)]
-    num_x = num_y = total_l = 0.0
-    pt_acc = list(pts)
-    for seq in seqs:
-        w = euclidean_length(seq)
-        if w > 0:
-            c = linestring_centroid(seq)
-            num_x += c[0] * w
-            num_y += c[1] * w
-            total_l += w
-        elif len(seq):
-            pt_acc.append((float(seq[0, 0]), float(seq[0, 1])))
-    if total_l > 0:
-        return (num_x / total_l, num_y / total_l)
-    if pt_acc:
-        arr = np.asarray(pt_acc, float)
-        return (float(arr[:, 0].mean()), float(arr[:, 1].mean()))
-    return None
+    return centroid_phases(pts, lines, polys)
 
 
 def _interior_point_general(g):
