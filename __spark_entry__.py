@@ -564,6 +564,39 @@ def _dedup_tiered_oracle_sql() -> str:
 """
 
 
+def _q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # stream-stream interval join (streaming/joins.py): signup events are a
+    # slowly-changing dimension-version stream, other events the fact
+    # stream; the watermark-bounded validity join runs under availableNow
+    # and the sunk rows aggregate to a batch-SQL-equivalent summary, so the
+    # whole stream-stream join is value-hash gated against DuckDB
+    from geo_spark.streaming.joins import run_events_enrich_available_now
+
+    sunk = run_events_enrich_available_now(
+        spark, f"{sf_dir}/events.parquet", sink_name="enrich_sink_q"
+    )
+    return sunk.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+_STREAMING_ENRICH_ORACLE = """
+    WITH f AS (SELECT * FROM events WHERE event_type <> 'signup'),
+    d AS (SELECT user_id, ts AS effective_ts FROM events
+          WHERE event_type = 'signup')
+    SELECT f.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(f.value) AS DOUBLE), 2) AS sum_value,
+           CAST(COUNT(DISTINCT f.user_id) AS BIGINT) AS n_users
+    FROM f JOIN d ON f.user_id = d.user_id
+                 AND f.ts >= d.effective_ts
+                 AND f.ts < d.effective_ts + INTERVAL 7 DAY
+    GROUP BY f.event_type
+"""
+
+
 def _q_gc_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # GeometryCollection as a first-class column (operators/gc.py tagged-GC
     # schema, geometry/mod.rs:50): per doc a GC mixing point + line + square
@@ -1991,6 +2024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbscan_hotspot": _q_dbscan_hotspot,
         "dedup_tiered_lineage": _q_dedup_tiered,
         "gc_centroid_mixed": _q_gc_centroid,
+        "streaming_interval_enrich": _q_streaming_enrich,
         "voronoi_probe_assign": _q_voronoi_probes,
         "lsh_cosine_topk": _q_lsh_cosine,
         "geodesic_roundtrip": _q_geodesic_roundtrip,
@@ -2449,6 +2483,7 @@ def oracle_sql() -> dict[str, str]:
         "densify_haversine_track": _densify_haversine_oracle_sql(),
         "dedup_tiered_lineage": _dedup_tiered_oracle_sql(),
         "gc_centroid_mixed": _GC_CENTROID_ORACLE,
+        "streaming_interval_enrich": _STREAMING_ENRICH_ORACLE,
         "affine_roundtrip": _affine_oracle_sql(),
         "hausdorff_frechet_pairs": _HAUSDORFF_ORACLE,
         "geometry_distance_pairs": _GEOM_DIST_ORACLE,
