@@ -705,11 +705,16 @@ def _q_polygon_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_voronoi_hotspot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from geo_spark.operators.geometry2 import voronoi_of_group
+    # distributed per-group Voronoi (tile+halo certificate construction —
+    # operators/geometry2.voronoi_distributed): no single-task global stage;
+    # output parity with voronoi_of_group is pytest-gated up to ring rotation
+    from geo_spark.operators.geometry2 import voronoi_distributed
 
     pts = _derived_points(spark, sf_dir)
     pts = pts.withColumn("group_id", F.pmod(F.col("doc_id"), F.lit(3)))
-    cells = voronoi_of_group(pts)
+    cells = voronoi_distributed(
+        pts, id_col="doc_id", group_col="group_id"
+    )
     return cells.select(
         "group_id", "lon", "lat", F.size("cell_ring").alias("n_ring_pts")
     )
@@ -1829,15 +1834,13 @@ def _q_voronoi_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # probe grid inside the hotspot is PIP-joined against the cell polygons;
     # by definition the containing cell's site is the probe's nearest site,
     # which DuckDB computes by brute-force argmin
-    from geo_spark.operators.geometry2 import voronoi_of_group
+    from geo_spark.operators.geometry2 import voronoi_distributed
     from geo_spark.operators.pip_join import pip_join_points_polygons
 
-    sites = (
-        _derived_points(spark, sf_dir)
-        .filter(F.col("doc_id") % 4 == 0)
-        .withColumn("group_id", F.lit(0))
-    )
-    cells = voronoi_of_group(sites, id_col="doc_id")
+    sites = _derived_points(spark, sf_dir).filter(F.col("doc_id") % 4 == 0)
+    # distributed construction (tile+halo certificates) — no global
+    # single-task stage; geometric correctness still PIP-gated below
+    cells = voronoi_distributed(sites, id_col="doc_id")
     polys = cells.select(
         F.col("doc_id").alias("polygon_id"),
         F.col("cell_ring").alias("exterior"),

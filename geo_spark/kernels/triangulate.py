@@ -218,26 +218,6 @@ def voronoi_cells(points: np.ndarray, clip_rect=None) -> list[np.ndarray]:
             nbrs[b].update((a, c))
             nbrs[c].update((a, b))
 
-    def _clip_against(cell: np.ndarray, p: np.ndarray, js) -> np.ndarray:
-        for j in js:
-            if len(cell) < 3:
-                break
-            q = pts[j]
-            mid = (p + q) / 2.0
-            nrm = q - p  # points toward q; keep the side where (x-mid)·nrm <= 0
-
-            def inside_mask(arr, mid=mid, nrm=nrm):
-                return (arr[:, 0] - mid[0]) * nrm[0] + (arr[:, 1] - mid[1]) * nrm[1] <= 0
-
-            def isect(a, b, mid=mid, nrm=nrm):
-                da = (a[0] - mid[0]) * nrm[0] + (a[1] - mid[1]) * nrm[1]
-                db = (b[0] - mid[0]) * nrm[0] + (b[1] - mid[1]) * nrm[1]
-                t = da / (da - db)
-                return np.array([a[0] + t * (b[0] - a[0]), a[1] + t * (b[1] - a[1])])
-
-            cell = _clip_half_plane(cell, inside_mask, isect)
-        return cell
-
     cells = []
     for i in range(n):
         p = pts[i]
@@ -245,9 +225,42 @@ def voronoi_cells(points: np.ndarray, clip_rect=None) -> list[np.ndarray]:
             js = sorted(nbrs[i])
         else:  # degenerate: no incident Delaunay triangle → all-pairs fallback
             js = [j for j in range(n) if j != i]
-        cell = _clip_against(base.copy(), p, js)
-        if len(cell) >= 3:
-            cells.append(np.vstack([cell, cell[:1]]))
-        else:
-            cells.append(np.empty((0, 2), dtype=np.float64))
+        cells.append(voronoi_cell_of_site(p, pts[js], clip_rect))
     return cells
+
+
+def voronoi_cell_of_site(p, neighbors, clip_rect) -> np.ndarray:
+    """Voronoi cell of one site: the clip rect intersected with the bisector
+    half-planes of ``neighbors`` (coords, applied in the given order).
+
+    This is the shared cell constructor: ``voronoi_cells`` feeds it the
+    site's Delaunay neighbors; the distributed operator's completion pass
+    feeds it the certified candidate gather (a superset of the true
+    neighbors — extra bisectors are inactive and leave the polygon
+    untouched). Returns a closed ring, or (0,2) when the cell is empty.
+    """
+    from geo_spark.kernels.clip import _clip_half_plane
+
+    p = np.asarray(p, dtype=np.float64)
+    neighbors = np.asarray(neighbors, dtype=np.float64).reshape(-1, 2)
+    x0, y0, x1, y1 = clip_rect
+    cell = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]], dtype=np.float64)
+    for q in neighbors:
+        if len(cell) < 3:
+            break
+        mid = (p + q) / 2.0
+        nrm = q - p  # points toward q; keep the side where (x-mid)·nrm <= 0
+
+        def inside_mask(arr, mid=mid, nrm=nrm):
+            return (arr[:, 0] - mid[0]) * nrm[0] + (arr[:, 1] - mid[1]) * nrm[1] <= 0
+
+        def isect(a, b, mid=mid, nrm=nrm):
+            da = (a[0] - mid[0]) * nrm[0] + (a[1] - mid[1]) * nrm[1]
+            db = (b[0] - mid[0]) * nrm[0] + (b[1] - mid[1]) * nrm[1]
+            t = da / (da - db)
+            return np.array([a[0] + t * (b[0] - a[0]), a[1] + t * (b[1] - a[1])])
+
+        cell = _clip_half_plane(cell, inside_mask, isect)
+    if len(cell) >= 3:
+        return np.vstack([cell, cell[:1]])
+    return np.empty((0, 2), dtype=np.float64)

@@ -284,3 +284,240 @@ def buffer_polygon_stats(
         return pd.DataFrame({"n_pieces": ns, "area": areas})
 
     return udf(exterior, interiors)
+
+
+def voronoi_distributed(
+    sites: DataFrame,
+    id_col: str = "site_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    group_col: str | None = None,
+    clip_rect: tuple | None = None,
+    res: int | None = None,
+    target_sites_per_tile: int = 400,
+) -> DataFrame:
+    """Exact Voronoi with NO single-task global stage — tile+halo
+    certificate construction (voronoi.rs:216 semantics; cells clipped to
+    ``clip_rect``, defaulting per group to the same bbox+10% rect as
+    ``kernels.triangulate.voronoi_cells``).
+
+    Pass 1 (tile-parallel): sites replicate to every tile within halo
+    distance h via the clamp-distance rule (one shuffle); each (group,
+    tile) runs local ``voronoi_cells`` over home+halo sites. Local cells
+    are SUPERSETS of the true cells (fewer sites → bigger cells), so the
+    certificate is per-site and exact: with R = max distance from the site
+    to its local-cell vertices, any non-local site q has |q−s| > h, and can
+    clip only if some cell point v has |v−q| ≤ |v−s| ≤ R while
+    |v−q| ≥ |q−s| − |v−s| > h − R — impossible when R < h/2. Certified
+    cells are final.
+
+    Pass 2 (per-site-parallel completion): a clipping site q of an
+    uncertified s satisfies |q−s| ≤ 2·|v−s| ≤ 2R, so gathering ALL the
+    group's sites within 2R and clipping the rect by their bisectors
+    (``voronoi_cell_of_site``) is exact. Rounds of doubling tile size turn
+    the gather into a bucketed equi-join (a 3×3 neighborhood at the round's
+    resolution covers radius 2R once 2R ≤ tile height); each round only
+    touches still-unfinished sites. Uncertified sites are the domain
+    boundary + sparse-region tail (~1% measured at 20k uniform sites), so
+    the whole construction is a sequence of bucketed joins + per-site
+    work — the 100 TB shape.
+
+    ``group_col``: independent diagram per group (the reference's
+    per-geometry semantics). Per-group clip rects are collected to the
+    driver — one row per group, fine up to ~10⁵ groups.
+
+    Tile size comes from the DATA extent (not the world): tiles aim for
+    ``target_sites_per_tile`` home sites, the halo radius is ~8 typical
+    spacings (replication factor ~1-3), so the certificate passes for all
+    interior sites.
+
+    Returns (group?, id, lon, lat, cell_ring) like ``voronoi_of_group``.
+    """
+    import math
+
+    from geo_spark.functions import _Z_BITS, _spread_bits_col
+    from geo_spark.operators.cluster import _with_halo_cells
+
+    gcol = group_col
+    if gcol is None:
+        sites = sites.withColumn("_grp", F.lit(0))
+        gcol = "_grp"
+    s = sites.select(gcol, id_col, lon_col, lat_col).cache()
+    n = s.count()
+    aggs = (
+        s.groupBy(gcol)
+        .agg(
+            F.min(lon_col).alias("x0"), F.max(lon_col).alias("x1"),
+            F.min(lat_col).alias("y0"), F.max(lat_col).alias("y1"),
+        )
+        .collect()
+    )
+    rects = {}
+    xmin = min(r["x0"] for r in aggs); xmax = max(r["x1"] for r in aggs)
+    ymin = min(r["y0"] for r in aggs); ymax = max(r["y1"] for r in aggs)
+    for r in aggs:
+        if clip_rect is not None:
+            rects[r[gcol]] = tuple(clip_rect)
+        else:
+            mx = (r["x1"] - r["x0"] or 1.0) * 0.1
+            my = (r["y1"] - r["y0"] or 1.0) * 0.1
+            rects[r[gcol]] = (r["x0"] - mx, r["y0"] - my, r["x1"] + mx, r["y1"] + my)
+    area = max((xmax - xmin) * (ymax - ymin), 1e-12)
+    spacing = math.sqrt(area / max(n, 1))
+    if res is None:
+        tile_h = math.sqrt(target_sites_per_tile * area / (2.0 * max(n, 1)))
+        res = max(1, min(18, round(math.log2(180.0 / max(tile_h, 1e-9)))))
+    h = min(180.0 / (1 << res), 8.0 * spacing)
+
+    halo = _with_halo_cells(s, lon_col, lat_col, h, res)
+
+    ring_t = "array<struct<x:double,y:double>>"
+    schema1 = (
+        f"{gcol} long, {id_col} long, {lon_col} double, {lat_col} double, "
+        f"cell_ring {ring_t}, certified boolean, r double"
+    )
+
+    def pass1(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        from geo_spark.kernels.triangulate import voronoi_cells
+
+        rect = rects[key[0]]
+        pts = pdf[[lon_col, lat_col]].to_numpy(dtype=np.float64)
+        cells = voronoi_cells(pts, clip_rect=rect)
+        home = pdf["_is_home"].to_numpy()
+        ids = pdf[id_col].to_numpy()
+        rows = {gcol: [], id_col: [], lon_col: [], lat_col: [], "cell_ring": [],
+                "certified": [], "r": []}
+        for i in np.flatnonzero(home):
+            ring = cells[i]
+            if len(ring):
+                d = np.hypot(ring[:, 0] - pts[i, 0], ring[:, 1] - pts[i, 1])
+                r = float(d.max())
+            else:
+                r = float("inf")
+            rows[gcol].append(int(key[0]))
+            rows[id_col].append(int(ids[i]))
+            rows[lon_col].append(float(pts[i, 0]))
+            rows[lat_col].append(float(pts[i, 1]))
+            rows["cell_ring"].append(_to_rows(ring))
+            rows["certified"].append(bool(r < 0.5 * h))
+            rows["r"].append(r)
+        out = pd.DataFrame(rows)
+        # halo-only tiles emit 0 rows; pandas would type the empty cell_ring
+        # column float64, which Arrow can't convert to list<struct>
+        out["cell_ring"] = out["cell_ring"].astype(object)
+        return out
+
+    p1 = halo.groupBy(gcol, "_cell").applyInPandas(pass1, schema=schema1).cache()
+    done = p1.filter("certified").select(gcol, id_col, lon_col, lat_col, "cell_ring")
+    todo = p1.filter("NOT certified").select(gcol, id_col, lon_col, lat_col, "r").cache()
+
+    def tile_at(rk: int, lon, lat):
+        nn = 1 << rk
+        w = 360.0 / nn
+        hh = 180.0 / nn
+        ix = F.greatest(F.lit(0), F.least(
+            F.floor((lon + F.lit(180.0)) / F.lit(w)).cast("long"), F.lit(nn - 1)))
+        iy = F.greatest(F.lit(0), F.least(
+            F.floor((lat + F.lit(90.0)) / F.lit(hh)).cast("long"), F.lit(nn - 1)))
+        return ix, iy
+
+    def zkey(rk: int, ix, iy):
+        z = _spread_bits_col(ix).bitwiseOR(F.shiftleft(_spread_bits_col(iy), 1))
+        return F.lit(rk << _Z_BITS).bitwiseOR(z).cast("long")
+
+    schema2 = (
+        f"{gcol} long, {id_col} long, {lon_col} double, {lat_col} double, "
+        f"cell_ring {ring_t}"
+    )
+
+    def pass2(pdf: pd.DataFrame) -> pd.DataFrame:
+        from geo_spark.kernels.triangulate import voronoi_cell_of_site
+
+        rect = rects[int(pdf["_sgrp"].iloc[0])]
+        real = pdf[pdf["_cand_id"].notna()].sort_values("_cand_id", kind="mergesort")
+        p = (float(pdf["_slon"].iloc[0]), float(pdf["_slat"].iloc[0]))
+        nb = real[["_clon", "_clat"]].to_numpy(dtype=np.float64)
+        ring = voronoi_cell_of_site(np.asarray(p), nb, rect)
+        return pd.DataFrame(
+            {
+                gcol: [int(pdf["_sgrp"].iloc[0])],
+                id_col: [int(pdf["_sid"].iloc[0])],
+                lon_col: [p[0]],
+                lat_col: [p[1]],
+                "cell_ring": [_to_rows(ring)],
+            }
+        )
+
+    results = [done]
+    rk = res
+    while True:
+        if todo.limit(1).count() == 0:
+            break
+        hk = 180.0 / (1 << rk)
+        eligible = (2.0 * F.col("r") <= F.lit(hk)) | F.lit(rk == 0)
+        batch = todo.filter(eligible)
+        todo = todo.filter(~eligible)
+        if batch.limit(1).count() > 0:
+            nn = 1 << rk
+            offs = F.array(*[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            ])
+            ix, iy = tile_at(rk, F.col(lon_col), F.col(lat_col))
+            u = (
+                batch.withColumn("_ix", ix).withColumn("_iy", iy)
+                .withColumn("_o", F.explode(offs))
+                .withColumn("_jx", F.pmod(F.col("_ix") + F.col("_o.dx"), F.lit(nn)))
+                .withColumn("_jy", F.col("_iy") + F.col("_o.dy"))
+                .filter((F.col("_jy") >= 0) & (F.col("_jy") < nn))
+                .select(
+                    F.col(gcol).alias("_sgrp"),
+                    F.col(id_col).alias("_sid"),
+                    F.col(lon_col).alias("_slon"),
+                    F.col(lat_col).alias("_slat"),
+                    F.col("r").alias("_r"),
+                    zkey(rk, F.col("_jx"), F.col("_jy")).alias("_tile"),
+                )
+            )
+            bx, by = tile_at(rk, F.col(lon_col), F.col(lat_col))
+            bucketed = s.select(
+                F.col(gcol).alias("_sgrp"),
+                F.col(id_col).alias("_cand_id"),
+                F.col(lon_col).alias("_clon"),
+                F.col(lat_col).alias("_clat"),
+                zkey(rk, bx, by).alias("_tile"),
+            )
+            d2 = (F.col("_clon") - F.col("_slon")) ** 2 + (F.col("_clat") - F.col("_slat")) ** 2
+            cand = (
+                u.join(bucketed, ["_sgrp", "_tile"])
+                .filter((F.col("_cand_id") != F.col("_sid")) & (d2 <= (2.0 * F.col("_r")) ** 2))
+                .dropDuplicates(["_sgrp", "_sid", "_cand_id"])
+                .select("_sgrp", "_sid", "_slon", "_slat", "_cand_id", "_clon", "_clat")
+            )
+            # a base row per site guarantees output even with zero in-radius
+            # candidates (the cell is then the whole rect)
+            base_rows = batch.select(
+                F.col(gcol).alias("_sgrp"),
+                F.col(id_col).alias("_sid"),
+                F.col(lon_col).alias("_slon"),
+                F.col(lat_col).alias("_slat"),
+                F.lit(None).cast("long").alias("_cand_id"),
+                F.lit(0.0).alias("_clon"),
+                F.lit(0.0).alias("_clat"),
+            )
+            out = (
+                cand.unionByName(base_rows)
+                .groupBy("_sgrp", "_sid")
+                .applyInPandas(pass2, schema=schema2)
+            )
+            results.append(out)
+        if rk == 0:
+            break
+        rk -= 1
+
+    from functools import reduce
+
+    merged = reduce(lambda a, b: a.unionByName(b), results)
+    if group_col is None:
+        merged = merged.drop(gcol)
+    return merged
