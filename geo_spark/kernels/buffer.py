@@ -269,6 +269,13 @@ def buffer_polygon(
     base = [(ext, [np.asarray(h, dtype=np.float64) for h in interiors])]
     if r == 0:
         return base
+    if not len(list(interiors)):
+        info = _convex_info(_collapse_close_vertices(ext, abs(r) * 1e-6, closed=True))
+        if info is not None:
+            pts, dn = info
+            if r > 0:
+                return _dilate_convex(pts, dn, r, quad_segs, join, mitre_limit)
+            return _erode_convex(pts, dn, -r)
     rings = [ext] + [np.asarray(h, dtype=np.float64) for h in interiors]
     band = unary_union(_stroke_pieces(rings, abs(r), quad_segs, join, mitre_limit))
     if r > 0:
@@ -387,3 +394,146 @@ def _buffer_local(g, dist: float, quad_segs: int, join: str, mitre_limit: float)
             )
         return unary_union(out) if len(polys) > 1 else out
     raise ValueError(f"unsupported buffer operand: {kind}")
+
+
+# --- convex fast path ---------------------------------------------------------
+#
+# For a strictly convex, hole-free ring the stroke-union has a closed form:
+# dilation boundary = offset edges + per-vertex join pieces assembled
+# directly (the union of rects + vertex circles/wedges, traced analytically
+# — SAME region as the overlay path, including the polygonal-circle chords
+# and their end-cap crossing points), and erosion = the intersection of the
+# inward-shifted edge half-planes. This skips the O(pieces²) overlay fold
+# entirely; the general path below remains for every non-convex / holed
+# input. Certified by parity pytests against the overlay path.
+
+_CIRCLE_GRID_OFF = 0.3819660112501051e-6
+
+
+def _convex_info(ring):
+    """(ccw_open_pts, unit_edge_dirs) if strictly convex & closed, else None."""
+    from geo_spark.kernels.area import ring_signed_area
+
+    ring = np.asarray(ring, dtype=np.float64)
+    if len(ring) < 4 or (ring[0] != ring[-1]).any():
+        return None
+    pts = ring[:-1]
+    if ring_signed_area(ring) < 0:
+        pts = pts[::-1].copy()
+    d = np.roll(pts, -1, axis=0) - pts
+    L = np.hypot(d[:, 0], d[:, 1])
+    if (L == 0.0).any():
+        return None
+    dn = d / L[:, None]
+    nxt = np.roll(dn, -1, axis=0)
+    cross = dn[:, 0] * nxt[:, 1] - dn[:, 1] * nxt[:, 0]
+    if (cross <= 0.0).any():  # reflex or collinear joint → general path
+        return None
+    return pts, dn
+
+
+def _dilate_convex(pts, dn, r, quad_segs, join, mitre_limit):
+    """Offset boundary of a strictly convex CCW ring, vertex-parity with the
+    rect∪circle∪wedge union of the overlay path."""
+    n = len(pts)
+    N = max(4 * quad_segs, 8)
+    step = 2.0 * np.pi / N
+    ang = (np.arange(N) + _CIRCLE_GRID_OFF) * step
+    cir = np.column_stack([np.cos(ang), np.sin(ang)])
+    normals = np.column_stack([dn[:, 1], -dn[:, 0]])  # outward for CCW
+    out = []
+
+    def cap_chord_cross(v, m_unit, pa, pb):
+        # intersection of the end-cap ray x = v + t·m (t≥0) with chord pa→pb
+        dp = pb - pa
+        denom = dp[0] * m_unit[1] - dp[1] * m_unit[0]
+        if denom == 0.0:
+            return None
+        u = ((v[0] - pa[0]) * m_unit[1] - (v[1] - pa[1]) * m_unit[0]) / denom
+        return pa + u * dp
+
+    for i in range(n):
+        v = pts[i]
+        d_prev, d_next = dn[i - 1], dn[i]
+        m_prev, m_next = normals[i - 1], normals[i]
+        T1 = v + m_prev * r
+        T2 = v + m_next * r
+        cross = d_prev[0] * d_next[1] - d_prev[1] * d_next[0]
+        dot = float(d_prev @ d_next)
+        kind = join
+        if join != "round" and abs(cross) < 0.05 and dot > 0:
+            kind = "round"  # same shallow-joint fallback as _mitre_wedge
+        if kind == "round":
+            a1 = float(np.arctan2(m_prev[1], m_prev[0])) % (2.0 * np.pi)
+            span = float(np.arccos(np.clip(dot, -1.0, 1.0)))
+            delta = (ang - a1) % (2.0 * np.pi)
+            inside = np.flatnonzero((delta > 0) & (delta < span))
+            out.append(T1)
+            if len(inside):
+                order = inside[np.argsort(delta[inside])]
+                k1, k2 = order[0], order[-1]
+                c1 = cap_chord_cross(v, m_prev, v + r * cir[k1 - 1], v + r * cir[k1])
+                if c1 is not None:
+                    out.append(c1)
+                out.extend(v + r * cir[k] for k in order)
+                c2 = cap_chord_cross(v, m_next, v + r * cir[k2], v + r * cir[(k2 + 1) % N])
+                if c2 is not None:
+                    out.append(c2)
+            else:
+                # whole turn inside one chord: both caps cross it
+                k = int(((a1 - _CIRCLE_GRID_OFF * step) // step) % N)
+                pa, pb = v + r * cir[k], v + r * cir[(k + 1) % N]
+                c1 = cap_chord_cross(v, m_prev, pa, pb)
+                c2 = cap_chord_cross(v, m_next, pa, pb)
+                if c1 is not None:
+                    out.append(c1)
+                if c2 is not None:
+                    out.append(c2)
+            out.append(T2)
+        elif kind == "mitre":
+            denom = d_prev[0] * d_next[1] - d_prev[1] * d_next[0]
+            rhs = T2 - T1
+            t = (rhs[0] * d_next[1] - rhs[1] * d_next[0]) / denom
+            m = T1 + t * d_prev
+            out.append(T1)
+            if float(np.hypot(m[0] - v[0], m[1] - v[1])) <= mitre_limit * r:
+                out.append(m)
+            out.append(T2)
+        else:  # bevel
+            out.append(T1)
+            out.append(T2)
+
+    ring = np.asarray(out, dtype=np.float64)
+    # drop exact consecutive duplicates (tangent == circle vertex cases)
+    keep = np.ones(len(ring), dtype=bool)
+    keep[1:] = (ring[1:] != ring[:-1]).any(axis=1)
+    ring = ring[keep]
+    return [(np.vstack([ring, ring[:1]]), [])]
+
+
+def _erode_convex(pts, dn, depth):
+    """Erosion of a strictly convex CCW ring = intersection of the edge
+    half-planes shifted inward by ``depth``; join style is irrelevant on the
+    inward side."""
+    from geo_spark.kernels.clip import _clip_half_plane
+
+    normals = np.column_stack([dn[:, 1], -dn[:, 0]])
+    cell = pts.copy()
+    for i in range(len(pts)):
+        if len(cell) < 3:
+            return []
+        v, m = pts[i], normals[i]
+
+        def inside_mask(arr, v=v, m=m):
+            return (arr[:, 0] - v[0]) * m[0] + (arr[:, 1] - v[1]) * m[1] <= -depth
+
+        def isect(a, b, v=v, m=m):
+            da = (a[0] - v[0]) * m[0] + (a[1] - v[1]) * m[1] + depth
+            db = (b[0] - v[0]) * m[0] + (b[1] - v[1]) * m[1] + depth
+            t = da / (da - db)
+            return np.array([a[0] + t * (b[0] - a[0]), a[1] + t * (b[1] - a[1])])
+
+        cell = _clip_half_plane(cell, inside_mask, isect)
+    if len(cell) < 3:
+        return []
+    return [(np.vstack([cell, cell[:1]]), [])]

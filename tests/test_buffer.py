@@ -117,3 +117,49 @@ def test_buffer_geometry_large_coordinates():
     ring = ("LineString", np.array([(0, 0), (20, 0), (20, 20), (0, 20), (0, 0)], float))
     out = buffer_geometry(ring, 1.0)
     assert len(out) == 1 and len(out[0][1]) == 1  # annulus: one hole
+
+
+def test_convex_fast_path_matches_overlay():
+    # the convex fast path (analytic stroke-union boundary / half-plane
+    # erosion) must produce the same region as the general overlay fold
+    import geo_spark.kernels.buffer as B
+    from geo_spark.kernels.area import ring_signed_area
+    from geo_spark.kernels.hull import quick_hull
+
+    def area_of(result):
+        tot = 0.0
+        for ext, holes in result:
+            tot += abs(ring_signed_area(np.asarray(ext)))
+            for h in holes:
+                tot -= abs(ring_signed_area(np.asarray(h)))
+        return tot
+
+    def overlay_path(ring, r, join):
+        base = [(ring, [])]
+        band = B.unary_union(B._stroke_pieces([ring], abs(r), 8, join, 5.0))
+        op = "union" if r > 0 else "difference"
+        return B.multipolygon_boolean_op(base, band, op)
+
+    rng = np.random.RandomState(1)
+    for _ in range(8):
+        h = quick_hull(rng.uniform(-5, 5, (10, 2)))
+        ring = np.vstack([h, h[:1]]) if (h[0] != h[-1]).any() else np.asarray(h)
+        assert B._convex_info(ring) is not None
+        for join in ("round", "mitre", "bevel"):
+            for r in (0.6, -0.3):
+                fast = B.buffer_polygon(ring, (), r, 8, join)
+                slow = overlay_path(ring, r, join)
+                assert abs(area_of(fast) - area_of(slow)) < 1e-9 * max(1.0, area_of(slow)), (join, r)
+
+
+def test_convex_fast_path_rejects_nonconvex():
+    import geo_spark.kernels.buffer as B
+
+    star = np.array(
+        [(0, 0), (4, 1), (8, 0), (5, 3), (8, 6), (4, 5), (0, 6), (3, 3), (0, 0)],
+        dtype=float,
+    )
+    assert B._convex_info(star) is None
+    # collinear joint also routes to the general path
+    sq_collin = np.array([(0, 0), (1, 0), (2, 0), (2, 2), (0, 2), (0, 0)], dtype=float)
+    assert B._convex_info(sq_collin) is None
