@@ -597,6 +597,51 @@ _STREAMING_ENRICH_ORACLE = """
 """
 
 
+def _q_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # JTS-Polygonizer ring assembly (kernels/polygonize.py, certified by the
+    # TestPolygonize corpus): two s-squares sharing an edge + an inner
+    # island + a dangling chain per doc → dangle dropped, 3 polygons, the
+    # island double-emitted (hole of the left shell AND standalone) —
+    # closed-form counts and area
+    from geo_spark.operators.geometry2 import polygonize_lines
+
+    df = _abc(spark, sf_dir).selectExpr("doc_id", "CAST(1 + doc_id % 5 AS DOUBLE) AS s")
+    chains = F.expr(
+        """
+        array(
+          array(struct(s AS x, s AS y), struct(0.0d AS x, s AS y),
+                struct(0.0d AS x, 0.0d AS y), struct(s AS x, 0.0d AS y)),
+          array(struct(s AS x, s AS y), struct(s AS x, 0.0d AS y)),
+          array(struct(s AS x, s AS y), struct(2.0d * s AS x, s AS y),
+                struct(2.0d * s AS x, 0.0d AS y), struct(s AS x, 0.0d AS y)),
+          array(struct(0.2d * s AS x, 0.8d * s AS y), struct(0.8d * s AS x, 0.8d * s AS y),
+                struct(0.8d * s AS x, 0.2d * s AS y), struct(0.2d * s AS x, 0.2d * s AS y),
+                struct(0.2d * s AS x, 0.8d * s AS y)),
+          array(struct(0.0d AS x, 2.0d * s AS y), struct(s AS x, 3.0d * s AS y))
+        )
+        """
+    )
+    from geo_spark.operators.geometry2 import multipolygon_area
+
+    mp = polygonize_lines(chains)
+    return df.select(
+        "doc_id",
+        F.size(mp).alias("n_polys"),
+        F.aggregate(
+            mp, F.lit(0), lambda acc, p: acc + F.size(p["interiors"])
+        ).cast("int").alias("n_holes"),
+        F.round(multipolygon_area(mp), 9).alias("area"),
+    )
+
+
+_POLYGONIZE_ORACLE = """
+    SELECT doc_id,
+           3 AS n_polys, 1 AS n_holes,
+           ROUND(2.0 * s * s, 9) AS area
+    FROM (SELECT doc_id, CAST(1 + doc_id % 5 AS DOUBLE) AS s FROM documents)
+"""
+
+
 def _q_gc_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # GeometryCollection as a first-class column (operators/gc.py tagged-GC
     # schema, geometry/mod.rs:50): per doc a GC mixing point + line + square
@@ -2027,6 +2072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbscan_hotspot": _q_dbscan_hotspot,
         "dedup_tiered_lineage": _q_dedup_tiered,
         "gc_centroid_mixed": _q_gc_centroid,
+        "polygonize_grid": _q_polygonize,
         "streaming_interval_enrich": _q_streaming_enrich,
         "voronoi_probe_assign": _q_voronoi_probes,
         "lsh_cosine_topk": _q_lsh_cosine,
@@ -2486,6 +2532,7 @@ def oracle_sql() -> dict[str, str]:
         "densify_haversine_track": _densify_haversine_oracle_sql(),
         "dedup_tiered_lineage": _dedup_tiered_oracle_sql(),
         "gc_centroid_mixed": _GC_CENTROID_ORACLE,
+        "polygonize_grid": _POLYGONIZE_ORACLE,
         "streaming_interval_enrich": _STREAMING_ENRICH_ORACLE,
         "affine_roundtrip": _affine_oracle_sql(),
         "hausdorff_frechet_pairs": _HAUSDORFF_ORACLE,

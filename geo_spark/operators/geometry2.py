@@ -521,3 +521,35 @@ def voronoi_distributed(
     if group_col is None:
         merged = merged.drop(gcol)
     return merged
+
+
+def polygonize_lines(lines: Column) -> Column:
+    """Polygonize an array-of-linestrings column → multipolygon
+    (kernels/polygonize.py — JTS Polygonizer ring assembly: dangles and cut
+    edges dropped, faces to shells, negative cycles to holes of the
+    smallest strictly-containing shell)."""
+
+    @F.pandas_udf(MULTIPOLY_TYPE)
+    def udf(rows: pd.Series) -> pd.Series:
+        from geo_spark.kernels.polygonize import polygonize
+
+        out = []
+        for chains in rows:
+            segs = []
+            if chains is None:
+                chains = []
+            for member in chains:
+                seq = _to_np(member["pts"])
+                for i in range(len(seq) - 1):
+                    segs.append(
+                        (
+                            (float(seq[i, 0]), float(seq[i, 1])),
+                            (float(seq[i + 1, 0]), float(seq[i + 1, 1])),
+                        )
+                    )
+            out.append(_result_to_rows(polygonize(segs)))
+        return pd.Series(out)
+
+    # ragged array<array<struct>> crashes the Arrow input converter in this
+    # environment; a struct wrapper per chain takes the (working) dict path
+    return udf(F.transform(lines, lambda c: F.struct(c.alias("pts"))))

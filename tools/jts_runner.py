@@ -45,6 +45,8 @@ _SUPPORTED = {
     "minclearance", "minclearanceline",
     # BufferResultMatcher semantics (symdiff area + boundary Hausdorff)
     "buffer", "buffermitredjoin",
+    # ring assembly from noded linework (kernels/polygonize.py)
+    "polygonize",
 }
 
 _OVERLAY_BASE = {
@@ -1025,6 +1027,51 @@ def run_case(c) -> str:
                 else:
                     got = p_covers(gb, ga)
             return "pass" if got == (expected.lower() == "true") else "fail"
+
+        if op == "polygonize":
+            exp = _clean_wkt(expected)
+            if exp is None:
+                return "skip"
+            from geo_spark.kernels.polygonize import polygonize as _pgz
+
+            pts_a, lines_a, polys_a = _geom_components(ga)
+            segs = []
+            for seq in list(lines_a) + [
+                r for ext, holes in polys_a for r in [ext] + list(holes)
+            ]:
+                seq = np.asarray(seq, dtype=np.float64)
+                for i in range(len(seq) - 1):
+                    segs.append(
+                        (
+                            (float(seq[i, 0]), float(seq[i, 1])),
+                            (float(seq[i + 1, 0]), float(seq[i + 1, 1])),
+                        )
+                    )
+            got = _pgz(segs)
+            _, _, e_polys = _geom_components(exp)
+
+            def canon_ring(r):
+                r = [
+                    (round(float(x), 9), round(float(y), 9))
+                    for x, y in np.asarray(r, dtype=np.float64)[:-1]
+                ]
+                area2 = sum(
+                    r[i][0] * r[(i + 1) % len(r)][1]
+                    - r[(i + 1) % len(r)][0] * r[i][1]
+                    for i in range(len(r))
+                )
+                if area2 < 0:
+                    r = r[::-1]
+                k = min(range(len(r)), key=lambda j: r[j])
+                return tuple(r[k:] + r[:k])
+
+            def canon_set(polys):
+                return sorted(
+                    (canon_ring(ext), tuple(sorted(canon_ring(h) for h in holes)))
+                    for ext, holes in polys
+                )
+
+            return "pass" if canon_set(got) == canon_set(e_polys) else "fail"
 
         if op == "convexhull":
             exp = _clean_wkt(expected)
