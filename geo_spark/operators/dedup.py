@@ -436,14 +436,15 @@ def dedup_tiered(
         F.when(F.col(id_col) != F.col("_keep"), F.col("_keep")).alias("dup_of"),
         text_col,
     )
+    t1 = t1.cache()  # reused by every later tier and the final assembly
     s1 = t1.filter(F.col("tier").isNull()).select(id_col, text_col)
 
     # tier 2 — simhash near-dups among exact survivors
     sp = simhash_near_pairs(
         s1, id_col, text_col, max_hamming=simhash_max_hamming, max_bucket=max_bucket
     )
-    t2 = sp.groupBy(F.col("id_b").alias(id_col)).agg(F.min("id_a").alias("dup_of"))
-    s2 = s1.join(t2, id_col, "left_anti")
+    t2 = sp.groupBy(F.col("id_b").alias(id_col)).agg(F.min("id_a").alias("dup_of")).cache()
+    s2 = s1.join(t2, id_col, "left_anti").cache()
 
     # tier 3 — minhash LSH candidates among tier-2 survivors, kept only when
     # the exact n-gram Jaccard confirms

@@ -343,15 +343,16 @@ def voronoi_distributed(
         sites = sites.withColumn("_grp", F.lit(0))
         gcol = "_grp"
     s = sites.select(gcol, id_col, lon_col, lat_col).cache()
-    n = s.count()
     aggs = (
         s.groupBy(gcol)
         .agg(
             F.min(lon_col).alias("x0"), F.max(lon_col).alias("x1"),
             F.min(lat_col).alias("y0"), F.max(lat_col).alias("y1"),
+            F.count("*").alias("cnt"),
         )
         .collect()
     )
+    n = sum(r["cnt"] for r in aggs)
     rects = {}
     xmin = min(r["x0"] for r in aggs); xmax = max(r["x1"] for r in aggs)
     ymin = min(r["y0"] for r in aggs); ymax = max(r["y1"] for r in aggs)
@@ -448,72 +449,73 @@ def voronoi_distributed(
             }
         )
 
+    # single completion round: one resolution coarse enough that a 3×3
+    # neighborhood covers every uncertified site's 2R gather radius (the
+    # uncertified set is the boundary/sparse tail — ~1% — so the extra
+    # candidates from the shared coarse resolution are negligible, and one
+    # bucketed join replaces a per-resolution round loop)
+    stats = todo.agg(
+        F.count("*").alias("n"), F.max("r").alias("rmax")
+    ).first()
     results = [done]
-    rk = res
-    while True:
-        if todo.limit(1).count() == 0:
-            break
-        hk = 180.0 / (1 << rk)
-        eligible = (2.0 * F.col("r") <= F.lit(hk)) | F.lit(rk == 0)
-        batch = todo.filter(eligible)
-        todo = todo.filter(~eligible)
-        if batch.limit(1).count() > 0:
-            nn = 1 << rk
-            offs = F.array(*[
-                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-                for dx in (-1, 0, 1) for dy in (-1, 0, 1)
-            ])
-            ix, iy = tile_at(rk, F.col(lon_col), F.col(lat_col))
-            u = (
-                batch.withColumn("_ix", ix).withColumn("_iy", iy)
-                .withColumn("_o", F.explode(offs))
-                .withColumn("_jx", F.pmod(F.col("_ix") + F.col("_o.dx"), F.lit(nn)))
-                .withColumn("_jy", F.col("_iy") + F.col("_o.dy"))
-                .filter((F.col("_jy") >= 0) & (F.col("_jy") < nn))
-                .select(
-                    F.col(gcol).alias("_sgrp"),
-                    F.col(id_col).alias("_sid"),
-                    F.col(lon_col).alias("_slon"),
-                    F.col(lat_col).alias("_slat"),
-                    F.col("r").alias("_r"),
-                    zkey(rk, F.col("_jx"), F.col("_jy")).alias("_tile"),
-                )
-            )
-            bx, by = tile_at(rk, F.col(lon_col), F.col(lat_col))
-            bucketed = s.select(
-                F.col(gcol).alias("_sgrp"),
-                F.col(id_col).alias("_cand_id"),
-                F.col(lon_col).alias("_clon"),
-                F.col(lat_col).alias("_clat"),
-                zkey(rk, bx, by).alias("_tile"),
-            )
-            d2 = (F.col("_clon") - F.col("_slon")) ** 2 + (F.col("_clat") - F.col("_slat")) ** 2
-            cand = (
-                u.join(bucketed, ["_sgrp", "_tile"])
-                .filter((F.col("_cand_id") != F.col("_sid")) & (d2 <= (2.0 * F.col("_r")) ** 2))
-                .dropDuplicates(["_sgrp", "_sid", "_cand_id"])
-                .select("_sgrp", "_sid", "_slon", "_slat", "_cand_id", "_clon", "_clat")
-            )
-            # a base row per site guarantees output even with zero in-radius
-            # candidates (the cell is then the whole rect)
-            base_rows = batch.select(
+    if stats["n"] and stats["n"] > 0:
+        rmax = float(stats["rmax"])
+        rk = res
+        while rk > 0 and 180.0 / (1 << rk) < 2.0 * rmax:
+            rk -= 1
+        nn = 1 << rk
+        offs = F.array(*[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        ])
+        ix, iy = tile_at(rk, F.col(lon_col), F.col(lat_col))
+        u = (
+            todo.withColumn("_ix", ix).withColumn("_iy", iy)
+            .withColumn("_o", F.explode(offs))
+            .withColumn("_jx", F.pmod(F.col("_ix") + F.col("_o.dx"), F.lit(nn)))
+            .withColumn("_jy", F.col("_iy") + F.col("_o.dy"))
+            .filter((F.col("_jy") >= 0) & (F.col("_jy") < nn))
+            .select(
                 F.col(gcol).alias("_sgrp"),
                 F.col(id_col).alias("_sid"),
                 F.col(lon_col).alias("_slon"),
                 F.col(lat_col).alias("_slat"),
-                F.lit(None).cast("long").alias("_cand_id"),
-                F.lit(0.0).alias("_clon"),
-                F.lit(0.0).alias("_clat"),
+                F.col("r").alias("_r"),
+                zkey(rk, F.col("_jx"), F.col("_jy")).alias("_tile"),
             )
-            out = (
-                cand.unionByName(base_rows)
-                .groupBy("_sgrp", "_sid")
-                .applyInPandas(pass2, schema=schema2)
-            )
-            results.append(out)
-        if rk == 0:
-            break
-        rk -= 1
+        )
+        bx, by = tile_at(rk, F.col(lon_col), F.col(lat_col))
+        bucketed = s.select(
+            F.col(gcol).alias("_sgrp"),
+            F.col(id_col).alias("_cand_id"),
+            F.col(lon_col).alias("_clon"),
+            F.col(lat_col).alias("_clat"),
+            zkey(rk, bx, by).alias("_tile"),
+        )
+        d2 = (F.col("_clon") - F.col("_slon")) ** 2 + (F.col("_clat") - F.col("_slat")) ** 2
+        cand = (
+            u.join(bucketed, ["_sgrp", "_tile"])
+            .filter((F.col("_cand_id") != F.col("_sid")) & (d2 <= (2.0 * F.col("_r")) ** 2))
+            .dropDuplicates(["_sgrp", "_sid", "_cand_id"])
+            .select("_sgrp", "_sid", "_slon", "_slat", "_cand_id", "_clon", "_clat")
+        )
+        # a base row per site guarantees output even with zero in-radius
+        # candidates (the cell is then the whole rect)
+        base_rows = todo.select(
+            F.col(gcol).alias("_sgrp"),
+            F.col(id_col).alias("_sid"),
+            F.col(lon_col).alias("_slon"),
+            F.col(lat_col).alias("_slat"),
+            F.lit(None).cast("long").alias("_cand_id"),
+            F.lit(0.0).alias("_clon"),
+            F.lit(0.0).alias("_clat"),
+        )
+        out = (
+            cand.unionByName(base_rows)
+            .groupBy("_sgrp", "_sid")
+            .applyInPandas(pass2, schema=schema2)
+        )
+        results.append(out)
 
     from functools import reduce
 
