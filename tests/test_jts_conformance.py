@@ -51,8 +51,14 @@ def test_jts_general_corpus():
     # snap-rounded heterogeneous cases (~24, need the full OverlayNG
     # collapse-labelling pipeline), polygonize (6 — the reference runner
     # doesn't parse the op either).
-    # round 4: 2180 → 2186 — polygonize evaluated (kernels/polygonize.py
-    # ring assembly: dangles, cut edges, face traversal, hole assignment).
+    # round 4: 2180 → 2210 and ZERO skips — the whole corpus evaluates.
+    # +6 polygonize (kernels/polygonize.py ring assembly: dangles, cut
+    # edges, face traversal, hole assignment); +24 OverlayNG fixed-precision
+    # collapse labelling (_sr_collapse_overlay: joint hot-pixel rounding,
+    # per-side area+skeleton, closure inclusion rules, op-dependent
+    # absorption; _sr_unary_union dimension-separated precision union;
+    # _sr_point_overlay unrounded-other-operand point rules).
     results, failures = run_corpus()
-    assert results["pass"] >= 2186, (results, failures[:10])
+    assert results["pass"] >= 2210, (results, failures[:10])
     assert results["fail"] == 0, failures
+    assert results["skip"] == 0, results

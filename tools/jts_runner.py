@@ -453,6 +453,301 @@ def _compare_mixed(mine, exp) -> bool:
     return True
 
 
+def _sr_unary_union(ga, grid):
+    """JTS UnaryUnionOp under a precision model: unions each DIMENSION
+    separately (area union via snap-round repair; lines snap-rounded then
+    reduced by the area's closure; points likewise) — area collapses are
+    DROPPED, not emitted as lines (unlike binary OverlayNG)."""
+    from geo_spark.kernels.relate2 import E as RE, _cls_vs_polys, _on_segs, _segs_of_lines, node_pieces
+    from geo_spark.kernels.repair import snap_round_linework, snap_round_rings
+
+    from geo_spark.kernels.boolops import unary_union as _uu
+
+    pts, lines, polys = _geom_components(ga)
+    rings = [ext for ext, hs in polys] + [h for _, hs in polys for h in hs]
+    # snap each POLYGON on the joint pixel set, then a true n-way union —
+    # odd-even over the whole soup would XOR overlapping members
+    def poly_edges(p):
+        ext, hs = p
+        out = []
+        for seq in [ext] + list(hs):
+            seq = np.asarray(seq, dtype=np.float64)
+            for i in range(len(seq) - 1):
+                a = (float(seq[i, 0]), float(seq[i, 1]))
+                b = (float(seq[i + 1, 0]), float(seq[i + 1, 1]))
+                if a != b:
+                    out.append((a, b))
+        return out
+
+    pieces = []
+    for j, p in enumerate(polys):
+        others = [e for k, p2 in enumerate(polys) if k != j for e in poly_edges(p2)]
+        pieces.extend(
+            snap_round_rings([p[0]] + list(p[1]), grid, extra_edges=others)
+        )
+    area = _uu(pieces) if pieces else []
+    rr = [ext for ext, hs in area] + [h for _, hs in area for h in hs]
+    area = snap_round_rings(rr, grid) if rr else []
+    line_segs = []
+    if lines:
+        la, _ = snap_round_linework(lines, rings, grid)
+        line_segs = list(la)
+    # lines minus the area's closure
+    boundary = _segs_of_lines([ext for ext, hs in area] + [h for _, hs in area for h in hs])
+    out_lines = []
+    if line_segs:
+        pieces, _ = node_pieces(
+            [np.asarray([a, b], dtype=np.float64) for a, b in line_segs], boundary
+        )
+        for a, b, _on in pieces:
+            mid = ((a[0] + b[0]) / 2.0, (a[1] + b[1]) / 2.0)
+            if not area or _cls_vs_polys(mid, area) == RE:
+                out_lines.append(((float(a[0]), float(a[1])), (float(b[0]), float(b[1]))))
+    out_lines = _dedupe_segs(out_lines)
+
+    def snap_pt(p):
+        return (
+            float(np.floor(p[0] * grid + 0.5) / grid),
+            float(np.floor(p[1] * grid + 0.5) / grid),
+        )
+
+    lines_np = np.asarray(
+        [[a[0], a[1], b[0], b[1]] for a, b in out_lines], dtype=np.float64
+    ) if out_lines else np.empty((0, 4))
+    out_pts = set()
+    for p in pts:
+        sp = snap_pt(p)
+        if (not area or _cls_vs_polys(sp, area) == RE) and not _on_segs(sp, lines_np):
+            out_pts.add(sp)
+    return out_pts, out_lines, area
+
+
+def _sr_point_overlay(ga, gb, base, grid):
+    """SR overlays with a Point/MultiPoint operand: JTS rounds the POINT but
+    NOT the other operand for locating (TestNGOverlayPPrec 'line is not
+    rounded'); result geometry for union/difference keeps the other operand
+    snap-rounded."""
+    from geo_spark.kernels.relate2 import E as RE, relate_matrix
+
+    def snap_pt(p):
+        return (
+            float(np.floor(p[0] * grid + 0.5) / grid),
+            float(np.floor(p[1] * grid + 0.5) / grid),
+        )
+
+    ptsA, linesA, polysA = _geom_components(ga)
+    if not ptsA or linesA or polysA:
+        return None  # only the P × X shapes (possibly swapped) handled here
+    ptsB, linesB, polysB = _geom_components(gb) if gb is not None else ([], [], [])
+    if ptsB:
+        return None
+    snapped = [snap_pt(p) for p in ptsA]
+
+    def on_b(p):
+        m = relate_matrix(("Point", np.asarray(p, dtype=np.float64)), gb)
+        return m[0] != "F" or m[3] != "F"  # interior/boundary of B
+
+    inside = {p for p in snapped if on_b(p)}
+    outside = {p for p in snapped if p not in inside}
+    # the non-point operand, snap-rounded, for union/difference results
+    other = _sr_unary_union(gb, grid) if gb is not None else (set(), [], [])
+    o_pts, o_lines, o_polys = other
+    if base == "intersection":
+        return inside, [], []
+    if base == "difference":
+        return outside, [], []
+    # union / symdifference: other geometry + the points off it
+    return (o_pts | outside), o_lines, o_polys
+
+
+def _sr_collapse_overlay(ga, gb, base, grid):
+    """OverlayNG fixed-precision COLLAPSE semantics → (pts, segs, polys).
+
+    The full labelling pipeline, re-expressed through the engine's
+    snap-round repair (kernels/repair.snap_round_rings):
+
+    1. joint hot-pixel rounding: each side's rings snap-round with the
+       OTHER side's edges as ``extra_edges``, so both inputs route through
+       the shared pixel set (JTS's single noded arrangement);
+    2. per side: valid on-grid area + collapsed-edge skeleton (the
+       even-multiplicity cancellations — JTS's area→line collapses); line
+       inputs joint-round via snap_round_linework and behave as skeleton;
+    3. result area = heterogeneous overlay of the two snapped areas,
+       re-snapped with its own collapse skeleton (dimensional collapse of
+       the RESULT region, e.g. a sliver intersection becoming a line);
+    4. collapsed-line inclusion by the closure rules (closure(X) = snapped
+       area of X ∪ its skeleton):
+         intersection:   skelA ∩ closure(B)  ∪  skelB ∩ closure(A)
+         union:          (skelA ∪ skelB) − closure(result)
+         difference A−B: skelA − closure(B)
+         symdifference:  (skelA − closure(B)) ∪ (skelB − closure(A))
+       plus the overlay's own touch/collapse lines; every candidate piece
+       covered by the result area's closure is absorbed (JTS result-line
+       redundancy rule).
+    """
+    from geo_spark.kernels.overlay_mixed import mixed_overlay
+    from geo_spark.kernels.relate2 import (
+        E as RE,
+        _cls_vs_polys,
+        _on_segs,
+        _segs_of_lines,
+        node_pieces,
+    )
+    from geo_spark.kernels.repair import snap_round_linework, snap_round_rings
+
+    def snap_pt(p):
+        return (
+            float(np.floor(p[0] * grid + 0.5) / grid),
+            float(np.floor(p[1] * grid + 0.5) / grid),
+        )
+
+    ptsA, linesA, polysA = _geom_components(ga)
+    ptsB, linesB, polysB = (
+        _geom_components(gb) if gb is not None else ([], [], [])
+    )
+
+    def ring_list(polys):
+        return [ext for ext, hs in polys] + [h for _, hs in polys for h in hs]
+
+    ringsA, ringsB = ring_list(polysA), ring_list(polysB)
+
+    def edges_of(seqs):
+        out = []
+        for seq in seqs:
+            seq = np.asarray(seq, dtype=np.float64)
+            for i in range(len(seq) - 1):
+                a = (float(seq[i, 0]), float(seq[i, 1]))
+                b = (float(seq[i + 1, 0]), float(seq[i + 1, 1]))
+                if a != b:
+                    out.append((a, b))
+        return out
+
+    edgesA = edges_of(ringsA) + edges_of(linesA)
+    edgesB = edges_of(ringsB) + edges_of(linesB)
+
+    areaA, skelA = (
+        snap_round_rings(
+            ringsA, grid, extra_edges=edgesB + edges_of(linesA), return_collapsed=True
+        )
+        if ringsA
+        else ([], [])
+    )
+    areaB, skelB = (
+        snap_round_rings(
+            ringsB, grid, extra_edges=edgesA + edges_of(linesB), return_collapsed=True
+        )
+        if ringsB
+        else ([], [])
+    )
+    skelA, skelB = list(skelA), list(skelB)
+    if linesA:
+        la, _ = snap_round_linework(linesA, ringsA + ringsB + linesB, grid)
+        skelA += [(tuple(s[:2]), tuple(s[2:])) if not isinstance(s, tuple) else s for s in la]
+    if linesB:
+        lb, _ = snap_round_linework(linesB, ringsA + ringsB + linesA, grid)
+        skelB += [(tuple(s[:2]), tuple(s[2:])) if not isinstance(s, tuple) else s for s in lb]
+
+    def as_geom(area):
+        return ("MultiPolygon", [[ext] + list(hs) for ext, hs in area])
+
+    rpts, rsegs, rpolys = mixed_overlay(as_geom(areaA), as_geom(areaB), base)
+    rings_res = ring_list(rpolys)
+    if rings_res:
+        res_polys, res_collapsed = snap_round_rings(
+            rings_res, grid, return_collapsed=True
+        )
+    else:
+        res_polys, res_collapsed = [], []
+
+    def seg_np(segs):
+        if not segs:
+            return np.empty((0, 4), dtype=np.float64)
+        return np.asarray(
+            [[a[0], a[1], b[0], b[1]] for a, b in segs], dtype=np.float64
+        )
+
+    def closure_filter(cands, area, skel, keep_inside: bool):
+        """Pieces of ``cands`` inside/on (or outside, per flag) the closure
+        of (area, skel): node against the closure linework, classify
+        midpoints."""
+        if not cands:
+            return []
+        boundary = seg_np(
+            [(tuple(s[:2]), tuple(s[2:])) for s in _segs_of_lines(ring_list(area))]
+        ) if area else np.empty((0, 4), dtype=np.float64)
+        skel_np = seg_np(skel)
+        other = np.vstack([boundary, skel_np])
+        lines = [np.asarray([a, b], dtype=np.float64) for a, b in cands]
+        pieces, _ = node_pieces(lines, other)
+        out = []
+        for a, b, _on in pieces:
+            mid = ((a[0] + b[0]) / 2.0, (a[1] + b[1]) / 2.0)
+            inside = (_cls_vs_polys(mid, area) != RE if area else False) or _on_segs(
+                mid, skel_np
+            )
+            if inside == keep_inside:
+                out.append(((float(a[0]), float(a[1])), (float(b[0]), float(b[1]))))
+        return out
+
+    touch = [
+        (snap_pt(a), snap_pt(b))
+        for a, b in rsegs
+        if snap_pt(a) != snap_pt(b)
+    ]
+    if base == "intersection":
+        cand = (
+            closure_filter(skelA, areaB, skelB, True)
+            + closure_filter(skelB, areaA, skelA, True)
+            + touch
+            + list(res_collapsed)
+        )
+    elif base == "union":
+        cand = list(skelA) + list(skelB) + touch + list(res_collapsed)
+    elif base == "difference":
+        # no touch pieces: exact-JTS difference of areas is areal; lines come
+        # only from input collapses (skeleton) and result-region collapse
+        cand = closure_filter(skelA, areaB, skelB, False) + list(res_collapsed)
+    else:  # symdifference
+        cand = (
+            closure_filter(skelA, areaB, skelB, False)
+            + closure_filter(skelB, areaA, skelA, False)
+            + list(res_collapsed)
+        )
+    # absorption: union/difference/symdifference absorb any piece covered by
+    # the result area's closure; INTERSECTION absorbs only pieces lying ON
+    # the result boundary — a hole/gap collapse line strictly inside the
+    # result area is real output (JTS keeps it: e.g. OverlayAAPrec
+    # 'shells close together', 'hole with outward sliver')
+    if base == "intersection" and cand:
+        bsegs = seg_np(
+            [
+                (tuple(s[:2]), tuple(s[2:]))
+                for s in _segs_of_lines(ring_list(res_polys))
+            ]
+        ) if res_polys else np.empty((0, 4), dtype=np.float64)
+        lines = [np.asarray([a, b], dtype=np.float64) for a, b in cand]
+        pieces, _ = node_pieces(lines, bsegs)
+        kept = []
+        for a, b, _on in pieces:
+            mid = ((a[0] + b[0]) / 2.0, (a[1] + b[1]) / 2.0)
+            if not _on_segs(mid, bsegs):
+                kept.append(((float(a[0]), float(a[1])), (float(b[0]), float(b[1]))))
+        lines_out = _dedupe_segs(kept)
+    else:
+        lines_out = _dedupe_segs(closure_filter(cand, res_polys, [], False))
+
+    out_pts = {snap_pt(p) for p in rpts}
+    # points already covered by lines or area are absorbed
+    lines_np = seg_np(lines_out)
+    out_pts = {
+        p
+        for p in out_pts
+        if not _on_segs(p, lines_np)
+        and (_cls_vs_polys(p, res_polys) == RE if res_polys else True)
+    }
+    return out_pts, lines_out, res_polys
+
+
 def _general_overlay(ga, gb, base, exp, grid):
     """Fallback evaluation through the heterogeneous overlay. Floating
     precision: pass/fail. Fixed precision: inputs are grid-snapped first and
@@ -1453,6 +1748,55 @@ def run_case(c) -> str:
     except Exception:
         return "fail"
     return "skip"
+
+
+_INNER_RUN_CASE = run_case
+
+
+def run_case(c):  # noqa: F811 — deliberate wrapper
+    """Primary evaluation, then the OverlayNG collapse-labelling fallback
+    for fixed-precision overlays the fast paths could not decide."""
+    r = _INNER_RUN_CASE(c)
+    if r == "pass":
+        return r
+    op = c.get("op")
+    if op not in _OVERLAY_BASE or c.get("a") is None:
+        return r
+    grid = None
+    if op.endswith("sr") and c.get("arg3"):
+        grid = float(c["arg3"])
+    elif c.get("scale"):
+        grid = float(c["scale"])
+    if not grid:
+        return r
+    exp_txt = " ".join((c.get("expected") or "").split())
+    exp_is_empty = bool(_EMPTY_RE.match(exp_txt)) if exp_txt else False
+    exp = _clean_wkt(c["expected"]) if c.get("expected") else None
+    if exp is None and not exp_is_empty:
+        return r
+    ga, gb = c["a"], c["b"]
+    if c.get("arg1") == "B" and gb is not None:
+        ga, gb = gb, ga
+    base = _OVERLAY_BASE[op]
+    try:
+        if gb is None and base == "union":
+            mine = _sr_unary_union(ga, grid)
+        elif _geom_components(ga)[0] or (gb is not None and _geom_components(gb)[0]):
+            mine = _sr_point_overlay(ga, gb, base, grid)
+        else:
+            if gb is None:
+                return r
+            mine = _sr_collapse_overlay(ga, gb, base, grid)
+        if mine is not None:
+            if exp_is_empty:
+                m_pts, m_lines, m_polys = mine
+                if not m_pts and not m_lines and not m_polys:
+                    return "pass"
+            elif _compare_mixed(mine, exp):
+                return "pass"
+    except Exception:
+        pass
+    return r
 
 
 def run_corpus(files=None):
