@@ -1195,26 +1195,31 @@ def run_case(c) -> str:
             else:
                 survivor = first
             exp_is_empty = bool(_EMPTY_RE.match(" ".join(c["expected"].split())))
-            if survivor is None:
-                return "pass" if exp_is_empty else "fail"
-            if exp_is_empty:
-                return "fail"
+            # the ENGINE computes the result (kernels/overlay_mixed —
+            # an empty operand is just the empty collection); the
+            # analytical point-set rules above only decide what the
+            # comparison target is, so these cases certify engine
+            # behavior, not runner arithmetic (round-3 advice)
+            g1 = (c["b"] if swap else c["a"]) or ("GeometryCollection", [])
+            g2 = (c["a"] if swap else c["b"]) or ("GeometryCollection", [])
+            if ea:
+                g1 = ("GeometryCollection", [])
+            if eb:
+                g2 = ("GeometryCollection", [])
+            mine = _mixed_overlay(g1, g2, base)
+            m_pts, m_segs, m_polys = mine
+            mine_empty = not m_pts and not m_segs and not m_polys
+            if survivor is None or exp_is_empty:
+                # analytic: result must be empty ⇔ expected is empty
+                return (
+                    "pass"
+                    if mine_empty == (survivor is None) and exp_is_empty == mine_empty
+                    else "fail"
+                )
             exp = _clean_wkt(c["expected"])
-            if exp is None or survivor is None:
+            if exp is None:
                 return "skip"
-
-            def canon_single(g):
-                # JTS returns a single-member multi as the member itself
-                k, d = g
-                if k in ("MultiPoint", "MultiLineString", "MultiPolygon") and len(d) == 1:
-                    return (k[5:], d[0])
-                return g
-
-            return (
-                "pass"
-                if _geoms_equal(canon_single(survivor), canon_single(exp), normalized=True)
-                else "fail"
-            )
+            return "pass" if _compare_mixed(mine, exp) else "fail"
 
     a_is_empty = _is_empty_operand(c.get("a_text", ""), c["a"])
     b_is_empty = _is_empty_operand(c.get("b_text", ""), c["b"])
