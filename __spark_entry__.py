@@ -642,6 +642,43 @@ _POLYGONIZE_ORACLE = """
 """
 
 
+def _q_transform_proj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # reprojection (proj.rs analogue, kernels/project.py): Web Mercator
+    # forward is closed-form (DuckDB recomputes it), UTM (Krüger 6th-order)
+    # is gated by the round-trip identity at 1e-7 deg — the kernel's
+    # absolute accuracy is pytest-gated against the Karney meridian arc
+    from geo_spark.functions import utm_zone_col, web_mercator_x, web_mercator_y
+    from geo_spark.operators.scalar import utm_project, utm_unproject
+
+    pts = _derived_points(spark, sf_dir).withColumn(
+        "slat", F.col("lat") * F.expr("CAST(0.9 AS DOUBLE)")
+    )
+    u = utm_project(F.col("lon"), F.col("slat"))
+    rt = utm_unproject(u["easting"], u["northing"], u["zone"], u["south"])
+    return pts.select(
+        "doc_id",
+        F.round(web_mercator_x("lon"), 3).alias("wm_x"),
+        F.round(web_mercator_y("slat"), 3).alias("wm_y"),
+        utm_zone_col("lon").cast("int").alias("zone"),
+        F.round(rt["lon"], 7).alias("rt_lon"),
+        F.round(rt["lat"], 7).alias("rt_lat"),
+    )
+
+
+_TRANSFORM_ORACLE = f"""
+    WITH p AS ({_PTS_CTE})
+    SELECT doc_id,
+      ROUND(RADIANS(lon) * 6378137.0, 3) AS wm_x,
+      ROUND(6378137.0 * LN(TAN(PI() / 4.0
+            + RADIANS(lat * CAST(0.9 AS DOUBLE)) / 2.0)), 3) AS wm_y,
+      CAST(GREATEST(1, LEAST(CAST(FLOOR((lon + 180.0) / 6.0) AS INT) + 1, 60))
+           AS INT) AS zone,
+      ROUND(lon, 7) AS rt_lon,
+      ROUND(lat * CAST(0.9 AS DOUBLE), 7) AS rt_lat
+    FROM p
+"""
+
+
 def _q_gc_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # GeometryCollection as a first-class column (operators/gc.py tagged-GC
     # schema, geometry/mod.rs:50): per doc a GC mixing point + line + square
@@ -2072,6 +2109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbscan_hotspot": _q_dbscan_hotspot,
         "dedup_tiered_lineage": _q_dedup_tiered,
         "gc_centroid_mixed": _q_gc_centroid,
+        "transform_proj": _q_transform_proj,
         "polygonize_grid": _q_polygonize,
         "streaming_interval_enrich": _q_streaming_enrich,
         "voronoi_probe_assign": _q_voronoi_probes,
@@ -2532,6 +2570,7 @@ def oracle_sql() -> dict[str, str]:
         "densify_haversine_track": _densify_haversine_oracle_sql(),
         "dedup_tiered_lineage": _dedup_tiered_oracle_sql(),
         "gc_centroid_mixed": _GC_CENTROID_ORACLE,
+        "transform_proj": _TRANSFORM_ORACLE,
         "polygonize_grid": _POLYGONIZE_ORACLE,
         "streaming_interval_enrich": _STREAMING_ENRICH_ORACLE,
         "affine_roundtrip": _affine_oracle_sql(),

@@ -17,6 +17,8 @@ inputs (tested in tests/test_functions_sql.py):
 
 from __future__ import annotations
 
+import math as _math
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -252,3 +254,22 @@ def de9im_touches_col(matrix) -> Column:
 def de9im_overlaps_areas_col(matrix) -> Column:
     """overlaps (area/area): T*T***T**."""
     return de9im_matches_col(matrix, "T*T***T**")
+
+
+def web_mercator_x(lon) -> Column:
+    """EPSG:3857 x — pure SQL (kernels/project.py closed form), JVM-side."""
+    lon = F.col(lon) if isinstance(lon, str) else lon
+    return F.radians(lon) * F.lit(6378137.0)
+
+
+def web_mercator_y(lat) -> Column:
+    """EPSG:3857 y — pure SQL, JVM-side."""
+    lat = F.col(lat) if isinstance(lat, str) else lat
+    return F.lit(6378137.0) * F.log(F.tan(F.lit(_math.pi / 4.0) + F.radians(lat) / 2))
+
+
+def utm_zone_col(lon) -> Column:
+    """Standard 6-degree UTM zone (1..60) — pure SQL."""
+    lon = F.col(lon) if isinstance(lon, str) else lon
+    z = F.floor((lon + F.lit(180.0)) / F.lit(6.0)).cast("int") + 1
+    return F.greatest(F.lit(1), F.least(z, F.lit(60)))

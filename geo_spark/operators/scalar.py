@@ -315,3 +315,34 @@ def centroid(coords: Column, kind: str = "polygon") -> Column:
         return pd.DataFrame({"x": xs, "y": ys})
 
     return udf(coords)
+
+
+def utm_project(lon: Column, lat: Column) -> Column:
+    """struct<easting,northing,zone,south> — UTM (WGS84, Krüger 6th-order
+    series; kernels/project.py, the engine's proj.rs analogue). Vectorized
+    numpy over Arrow batches."""
+    from geo_spark.kernels.project import utm_forward
+
+    @F.pandas_udf("struct<easting:double,northing:double,zone:int,south:boolean>")
+    def udf(lons: pd.Series, lats: pd.Series) -> pd.DataFrame:
+        e, n, z, s = utm_forward(lons.to_numpy(np.float64), lats.to_numpy(np.float64))
+        return pd.DataFrame(
+            {"easting": e, "northing": n, "zone": z.astype("int32"), "south": s}
+        )
+
+    return udf(lon, lat)
+
+
+def utm_unproject(easting: Column, northing: Column, zone: Column, south: Column) -> Column:
+    """struct<lon,lat> — inverse UTM (kernels/project.utm_inverse)."""
+    from geo_spark.kernels.project import utm_inverse
+
+    @F.pandas_udf("struct<lon:double,lat:double>")
+    def udf(e: pd.Series, n: pd.Series, z: pd.Series, s: pd.Series) -> pd.DataFrame:
+        lon, lat = utm_inverse(
+            e.to_numpy(np.float64), n.to_numpy(np.float64),
+            z.to_numpy(np.int64), s.to_numpy(bool),
+        )
+        return pd.DataFrame({"lon": lon, "lat": lat})
+
+    return udf(easting, northing, zone, south)
