@@ -621,16 +621,24 @@ def _q_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
-    from geo_spark.operators.geometry2 import multipolygon_area
+    from geo_spark.operators.scalar import ring_area_sql
 
     mp = polygonize_lines(chains)
+
+    def piece_area(p):
+        return F.abs(ring_area_sql(p["exterior"])) - F.aggregate(
+            p["interiors"], F.lit(0.0), lambda a, h: a + F.abs(ring_area_sql(h))
+        )
+
+    # area JVM-side (shoelace via higher-order SQL — rings are tiny here)
+    area = F.aggregate(mp, F.lit(0.0), lambda acc, p: acc + piece_area(p))
     return df.select(
         "doc_id",
         F.size(mp).alias("n_polys"),
         F.aggregate(
             mp, F.lit(0), lambda acc, p: acc + F.size(p["interiors"])
         ).cast("int").alias("n_holes"),
-        F.round(multipolygon_area(mp), 9).alias("area"),
+        F.round(area, 9).alias("area"),
     )
 
 

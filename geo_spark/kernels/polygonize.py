@@ -135,15 +135,25 @@ def polygonize(segments):
 
     from geo_spark.kernels.predicates import polygon_position
 
+    sboxes = [
+        (s[:-1, 0].min(), s[:-1, 1].min(), s[:-1, 0].max(), s[:-1, 1].max())
+        for s, _ in shells
+    ]
     assigned: dict = {i: [] for i in range(len(shells))}
     for hring, _ in holes:
         best = None
         hx, hy = hring[:-1, 0], hring[:-1, 1]
+        hbox = (hx.min(), hy.min(), hx.max(), hy.max())
         for i, (sring, sarea) in enumerate(shells):
+            sb = sboxes[i]
+            # bbox prefilter: a containing shell's bbox must cover the hole's
+            if hbox[0] < sb[0] or hbox[1] < sb[1] or hbox[2] > sb[2] or hbox[3] > sb[3]:
+                continue
+            if best is not None and shells[best][1] <= sarea:
+                continue
             pos = polygon_position(hx, hy, sring)
             if (pos >= 0).all() and (pos > 0).any():
-                if best is None or sarea < shells[best][1]:
-                    best = i
+                best = i
         if best is not None:
             assigned[best].append(hring)
     return [(sring, assigned[i]) for i, (sring, sarea) in enumerate(shells)]
