@@ -141,6 +141,40 @@ def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", "tid", F.col("dist").alias("dist_sq"), "rank")
 
 
+def _q_knn_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the north-star kNN shape: ring expansion on Z-cells (with per-row
+    # 1/cos(lat) longitude widening) + EXACT haversine refinement and
+    # covered-radius certification (operators/knn_join.py)
+    from geo_spark.operators.knn_join import knn_join
+
+    pts = _derived_points(spark, sf_dir)
+    queries = pts.filter(F.col("doc_id") % 40 == 0).withColumnRenamed("doc_id", "qid")
+    targets = pts.withColumnRenamed("doc_id", "tid")
+    out = knn_join(queries, targets, k=3, res=3, metric="haversine", exclude_self=True)
+    return out.select("qid", "tid", F.round("dist", 0).alias("dist_m"), "rank")
+
+
+_KNN_HAVERSINE_ORACLE = f"""
+    WITH pts AS ({_PTS_CTE}),
+    q AS (SELECT doc_id AS qid, lon, lat FROM pts WHERE doc_id % 40 = 0),
+    d AS (
+      SELECT q.qid, t.doc_id AS tid,
+             6371008.8 * 2.0 * ASIN(SQRT(LEAST(
+               POW(SIN(RADIANS(t.lat - q.lat) / 2.0), 2)
+               + COS(RADIANS(q.lat)) * COS(RADIANS(t.lat))
+               * POW(SIN(RADIANS(t.lon - q.lon) / 2.0), 2), 1.0))) AS dist
+      FROM q JOIN pts t ON t.doc_id <> q.qid
+    ),
+    rk AS (
+      SELECT qid, tid, dist,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, tid) AS rank
+      FROM d
+    )
+    SELECT qid, tid, ROUND(dist, 0) AS dist_m, CAST(rank AS INT) AS rank
+    FROM rk WHERE rank <= 3
+"""
+
+
 def _q_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geo_spark.operators.tile_agg import tile_counts
 
@@ -2118,6 +2152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_tiered_lineage": _q_dedup_tiered,
         "gc_centroid_mixed": _q_gc_centroid,
         "transform_proj": _q_transform_proj,
+        "knn_haversine_k3": _q_knn_haversine,
         "polygonize_grid": _q_polygonize,
         "streaming_interval_enrich": _q_streaming_enrich,
         "voronoi_probe_assign": _q_voronoi_probes,
@@ -2579,6 +2614,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_tiered_lineage": _dedup_tiered_oracle_sql(),
         "gc_centroid_mixed": _GC_CENTROID_ORACLE,
         "transform_proj": _TRANSFORM_ORACLE,
+        "knn_haversine_k3": _KNN_HAVERSINE_ORACLE,
         "polygonize_grid": _POLYGONIZE_ORACLE,
         "streaming_interval_enrich": _STREAMING_ENRICH_ORACLE,
         "affine_roundtrip": _affine_oracle_sql(),
