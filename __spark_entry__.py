@@ -721,6 +721,54 @@ _TRANSFORM_ORACLE = f"""
 """
 
 
+def _q_spade_triangulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # constrained Delaunay (TriangulateSpade parity, triangulate_spade.rs):
+    # per doc a u-notched square (8 vertices, 6 on its hull counting the
+    # collinear bottom points). Closed forms: point-set triangulations have
+    # 2V−h−2 triangles (unconstrained & constrained-outer: 8, hull area
+    # s²), the simple polygon has V−2 = 6 with the polygon's own area
+    from geo_spark.operators.geometry2 import spade_triangulation_stats
+
+    df = _abc(spark, sf_dir).selectExpr("doc_id", "CAST(3 + doc_id % 5 AS DOUBLE) AS s")
+    ring = F.expr(
+        """
+        array(struct(0.0d AS x, 0.0d AS y),
+              struct(s / 3 AS x, 0.0d AS y),
+              struct(s / 3 AS x, s / 3 AS y),
+              struct(2 * s / 3 AS x, s / 3 AS y),
+              struct(2 * s / 3 AS x, 0.0d AS y),
+              struct(s AS x, 0.0d AS y),
+              struct(s AS x, s AS y),
+              struct(0.0d AS x, s AS y),
+              struct(0.0d AS x, 0.0d AS y))
+        """
+    )
+    no_holes = F.array().cast("array<array<struct<x:double,y:double>>>")
+    df = df.withColumn("ring", ring)
+    un = spade_triangulation_stats(F.col("ring"), no_holes, "unconstrained")
+    ou = spade_triangulation_stats(F.col("ring"), no_holes, "outer")
+    co = spade_triangulation_stats(F.col("ring"), no_holes, "constrained")
+    return df.select(
+        "doc_id",
+        un["n_tri"].alias("n_unconstrained"),
+        F.round(un["area"], 9).alias("hull_area_u"),
+        ou["n_tri"].alias("n_outer"),
+        F.round(ou["area"], 9).alias("hull_area_o"),
+        co["n_tri"].alias("n_constrained"),
+        F.round(co["area"], 9).alias("poly_area"),
+    )
+
+
+_SPADE_ORACLE = """
+    SELECT doc_id,
+           8 AS n_unconstrained, ROUND(s * s, 9) AS hull_area_u,
+           8 AS n_outer, ROUND(s * s, 9) AS hull_area_o,
+           6 AS n_constrained,
+           ROUND(s * s - (s / 3) * (s / 3), 9) AS poly_area
+    FROM (SELECT doc_id, CAST(3 + doc_id % 5 AS DOUBLE) AS s FROM documents)
+"""
+
+
 def _q_gc_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # GeometryCollection as a first-class column (operators/gc.py tagged-GC
     # schema, geometry/mod.rs:50): per doc a GC mixing point + line + square
@@ -2153,6 +2201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gc_centroid_mixed": _q_gc_centroid,
         "transform_proj": _q_transform_proj,
         "knn_haversine_k3": _q_knn_haversine,
+        "spade_triangulation_counts": _q_spade_triangulation,
         "polygonize_grid": _q_polygonize,
         "streaming_interval_enrich": _q_streaming_enrich,
         "voronoi_probe_assign": _q_voronoi_probes,
@@ -2615,6 +2664,7 @@ def oracle_sql() -> dict[str, str]:
         "gc_centroid_mixed": _GC_CENTROID_ORACLE,
         "transform_proj": _TRANSFORM_ORACLE,
         "knn_haversine_k3": _KNN_HAVERSINE_ORACLE,
+        "spade_triangulation_counts": _SPADE_ORACLE,
         "polygonize_grid": _POLYGONIZE_ORACLE,
         "streaming_interval_enrich": _STREAMING_ENRICH_ORACLE,
         "affine_roundtrip": _affine_oracle_sql(),

@@ -264,3 +264,198 @@ def voronoi_cell_of_site(p, neighbors, clip_rect) -> np.ndarray:
     if len(cell) >= 3:
         return np.vstack([cell, cell[:1]])
     return np.empty((0, 2), dtype=np.float64)
+
+
+# --- constrained Delaunay (TriangulateSpade parity) ---------------------------
+#
+# Reference surface: geo/src/algorithm/triangulate_spade.rs (ext spade crate)
+# — unconstrained_triangulation / constrained_outer_triangulation /
+# constrained_triangulation. Re-implemented with the classic cavity
+# (Anglada) constraint-insertion over the engine's Bowyer-Watson: for each
+# missing constraint edge, remove the triangles it crosses, walk the cavity
+# boundary into the two side chains, and re-triangulate each pseudo-polygon
+# recursively with the empty-circumcircle vertex choice.
+
+
+def _in_circle_unoriented(pa, pb, pc, pd) -> bool:
+    """d strictly inside the circle through a,b,c (orientation-independent)."""
+    o = orient2d(pa[0], pa[1], pb[0], pb[1], pc[0], pc[1])
+    if o == 0:
+        return False
+    if o > 0:
+        return incircle(pa[0], pa[1], pb[0], pb[1], pc[0], pc[1], pd[0], pd[1]) > 0
+    return incircle(pa[0], pa[1], pc[0], pc[1], pb[0], pb[1], pd[0], pd[1]) > 0
+
+
+def _proper_cross(p, q, u, v) -> bool:
+    """Open segments (p,q) and (u,v) properly cross (no shared endpoints)."""
+    o1 = orient2d(p[0], p[1], q[0], q[1], u[0], u[1])
+    o2 = orient2d(p[0], p[1], q[0], q[1], v[0], v[1])
+    o3 = orient2d(u[0], u[1], v[0], v[1], p[0], p[1])
+    o4 = orient2d(u[0], u[1], v[0], v[1], q[0], q[1])
+    return o1 * o2 < 0 and o3 * o4 < 0
+
+
+def _retriangulate_chain(chain, a, b, pts, out):
+    """Anglada pseudo-polygon triangulation of ``chain`` against edge (a,b)."""
+    if not chain:
+        return
+    if len(chain) == 1:
+        out.append((a, chain[0], b))
+        return
+    ci = 0
+    for k in range(1, len(chain)):
+        if _in_circle_unoriented(pts[a], pts[chain[ci]], pts[b], pts[chain[k]]):
+            ci = k
+    c = chain[ci]
+    _retriangulate_chain(chain[:ci], a, c, pts, out)
+    out.append((a, c, b))
+    _retriangulate_chain(chain[ci + 1 :], c, b, pts, out)
+
+
+def constrained_delaunay(points, constraints):
+    """Triangle index triples honoring every constraint edge.
+
+    ``points``: (n,2); ``constraints``: iterable of (i, j) vertex-index
+    pairs. A constraint with intermediate collinear vertices ON it is split
+    at those vertices (spade inserts both endpoints and routes through
+    existing vertices). Input constraints must not cross each other
+    (polygon boundaries never do).
+    """
+    pts = np.asarray(points, dtype=np.float64)
+    tris = set(tuple(t) for t in delaunay(pts))
+
+    def edges_of(t):
+        return [(t[0], t[1]), (t[1], t[2]), (t[2], t[0])]
+
+    def has_edge(i, j):
+        return any(
+            (i in t and j in t) for t in tris
+        )
+
+    def on_open_segment(k, i, j):
+        if k == i or k == j:
+            return False
+        p, a, b = pts[k], pts[i], pts[j]
+        if orient2d(a[0], a[1], b[0], b[1], p[0], p[1]) != 0:
+            return False
+        return (
+            min(a[0], b[0]) <= p[0] <= max(a[0], b[0])
+            and min(a[1], b[1]) <= p[1] <= max(a[1], b[1])
+        )
+
+    stack = [tuple(c) for c in constraints]
+    while stack:
+        i, j = stack.pop()
+        if i == j or has_edge(i, j):
+            continue
+        mids = [k for k in range(len(pts)) if on_open_segment(k, i, j)]
+        if mids:
+            # route through the collinear vertices in order along the segment
+            d = pts[j] - pts[i]
+            mids.sort(key=lambda k: (pts[k] - pts[i]) @ d)
+            seq = [i] + mids + [j]
+            stack.extend((seq[k], seq[k + 1]) for k in range(len(seq) - 1))
+            continue
+        # cavity: triangles with an edge properly crossing (i, j)
+        crossing = set()
+        removed = []
+        for t in tris:
+            for (u, v) in edges_of(t):
+                if _proper_cross(pts[i], pts[j], pts[u], pts[v]):
+                    crossing.add((u, v) if u <= v else (v, u))
+                    removed.append(t)
+                    break
+        if not removed:
+            continue  # nothing blocks the edge (degenerate) — leave as-is
+        removed = set(removed)
+        tris -= removed
+        boundary = {}
+        for t in removed:
+            for (u, v) in edges_of(t):
+                key = (u, v) if u <= v else (v, u)
+                if key in crossing:
+                    continue
+                boundary[key] = boundary.get(key, 0) + 1
+        bedges = [e for e, cnt in boundary.items() if cnt == 1]
+        # split boundary vertices into the two sides and order each chain by
+        # walking the edge adjacency from i to j
+        adj = {}
+        for (u, v) in bedges:
+            adj.setdefault(u, []).append(v)
+            adj.setdefault(v, []).append(u)
+
+        def side(k):
+            return orient2d(pts[i][0], pts[i][1], pts[j][0], pts[j][1],
+                            pts[k][0], pts[k][1])
+
+        chains = []
+        for want in (1, -1):
+            chain = []
+            prev, cur = None, i
+            while cur != j:
+                nxts = [
+                    v for v in adj.get(cur, [])
+                    if v != prev and (v == j or side(v) == want)
+                ]
+                if not nxts:
+                    chain = None
+                    break
+                prev, cur = cur, nxts[0]
+                if cur != j:
+                    chain.append(cur)
+            chains.append(chain)
+        out = []
+        for chain in chains:
+            if chain is None:
+                continue
+            _retriangulate_chain(chain, i, j, pts, out)
+        for t in out:
+            tris.add(t)
+    return [tuple(int(x) for x in t) for t in tris]
+
+
+def spade_triangulation(rings, mode: str = "unconstrained"):
+    """(points, triangles) per triangulate_spade.rs semantics over a polygon
+    given as [exterior, hole, ...] closed rings.
+
+    mode: 'unconstrained' (points only, pure Delaunay) | 'outer'
+    (constrained, includes triangles outside a non-convex shell / inside
+    holes) | 'constrained' (only triangles inside the polygon).
+    """
+    rings = [np.asarray(r, dtype=np.float64) for r in rings]
+    seen = {}
+    pts = []
+    ring_idx = []
+    for r in rings:
+        idxs = []
+        for x, y in r[:-1] if len(r) and (r[0] == r[-1]).all() else r:
+            key = (float(x), float(y))
+            if key not in seen:
+                seen[key] = len(pts)
+                pts.append(key)
+            idxs.append(seen[key])
+        ring_idx.append(idxs)
+    pts_arr = np.asarray(pts, dtype=np.float64)
+    if mode == "unconstrained":
+        return pts_arr, delaunay(pts_arr)
+    constraints = []
+    for idxs in ring_idx:
+        m = len(idxs)
+        for k in range(m):
+            a, b = idxs[k], idxs[(k + 1) % m]
+            if a != b:
+                constraints.append((a, b))
+    tris = constrained_delaunay(pts_arr, constraints)
+    if mode == "outer":
+        return pts_arr, tris
+    from geo_spark.kernels.predicates import polygon_position
+
+    ext, holes = rings[0], rings[1:]
+    keep = []
+    for t in tris:
+        cx = pts_arr[list(t), 0].mean()
+        cy = pts_arr[list(t), 1].mean()
+        if int(polygon_position([cx], [cy], ext, holes)[0]) == 1:
+            keep.append(t)
+    return pts_arr, keep

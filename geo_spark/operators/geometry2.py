@@ -555,3 +555,31 @@ def polygonize_lines(lines: Column) -> Column:
     # ragged array<array<struct>> crashes the Arrow input converter in this
     # environment; a struct wrapper per chain takes the (working) dict path
     return udf(F.transform(lines, lambda c: F.struct(c.alias("pts"))))
+
+
+def spade_triangulation_stats(exterior: Column, interiors: Column, mode: str) -> Column:
+    """struct<n_tri,area>: TriangulateSpade parity (triangulate_spade.rs —
+    'unconstrained' | 'outer' | 'constrained') over a polygon column via
+    kernels/triangulate.spade_triangulation (cavity-insertion CDT)."""
+
+    @F.pandas_udf("struct<n_tri:int,area:double>")
+    def udf(ext: pd.Series, hol: pd.Series) -> pd.DataFrame:
+        from geo_spark.kernels.triangulate import spade_triangulation
+
+        ns, areas = [], []
+        for i in range(len(ext)):
+            hs = hol.iloc[i]
+            rings = [_to_np(ext.iloc[i])] + ([] if hs is None else [_to_np(h) for h in hs])
+            pts, tris = spade_triangulation(rings, mode)
+            tot = 0.0
+            for a, b, c in tris:
+                pa, pb, pc = pts[a], pts[b], pts[c]
+                tot += abs(
+                    (pb[0] - pa[0]) * (pc[1] - pa[1])
+                    - (pb[1] - pa[1]) * (pc[0] - pa[0])
+                ) / 2.0
+            ns.append(len(tris))
+            areas.append(tot)
+        return pd.DataFrame({"n_tri": ns, "area": areas})
+
+    return udf(exterior, interiors)

@@ -115,3 +115,51 @@ def test_circumcenter():
     c = circumcenter((0, 0), (2, 0), (0, 2))
     assert c == (1.0, 1.0)
     assert circumcenter((0, 0), (1, 1), (2, 2)) is None  # collinear
+
+
+def test_spade_triangulation_reference_doctests():
+    # triangulate_spade.rs doctest goldens: u-shape → 8 / 8 / 6 triangles
+    import numpy as np
+    from geo_spark.kernels.triangulate import spade_triangulation
+
+    u = np.array(
+        [(0, 0), (1, 0), (1, 1), (2, 1), (2, 0), (3, 0), (3, 3), (0, 3), (0, 0)],
+        dtype=float,
+    )
+    for mode, n_exp, area_exp in [
+        ("unconstrained", 8, 9.0), ("outer", 8, 9.0), ("constrained", 6, 8.0)
+    ]:
+        pts, tris = spade_triangulation([u], mode)
+        assert len(tris) == n_exp, mode
+        tot = 0.0
+        for a, b, c in tris:
+            pa, pb, pc = pts[a], pts[b], pts[c]
+            tot += abs((pb[0]-pa[0])*(pc[1]-pa[1])-(pb[1]-pa[1])*(pc[0]-pa[0]))/2
+        assert abs(tot - area_exp) < 1e-12, mode
+
+
+def test_spade_constrained_with_hole():
+    import numpy as np
+    from geo_spark.kernels.triangulate import spade_triangulation
+
+    ext = np.array([(0, 0), (6, 0), (6, 6), (0, 6), (0, 0)], dtype=float)
+    hole = np.array([(2, 2), (2, 4), (4, 4), (4, 2), (2, 2)], dtype=float)
+    pts, tris = spade_triangulation([ext, hole], "constrained")
+    tot = 0.0
+    for a, b, c in tris:
+        pa, pb, pc = pts[a], pts[b], pts[c]
+        tot += abs((pb[0]-pa[0])*(pc[1]-pa[1])-(pb[1]-pa[1])*(pc[0]-pa[0]))/2
+    assert abs(tot - 32.0) < 1e-12  # 36 - 4
+    # Euler: v + 2h - 2 triangles for a polygon with h holes, no Steiner pts
+    assert len(tris) == 8 + 2 * 1 - 2
+    # every constraint edge present
+    edges = set()
+    for t in tris:
+        for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+            edges.add((min(e), max(e)))
+    def idx_of(p):
+        return [i for i, q in enumerate(pts) if (q == p).all()][0]
+    for ring in (ext, hole):
+        for k in range(len(ring) - 1):
+            i, j = idx_of(ring[k]), idx_of(ring[k + 1])
+            assert (min(i, j), max(i, j)) in edges
