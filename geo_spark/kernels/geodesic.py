@@ -769,3 +769,20 @@ def geodesic_point_at_ratio(lat1, lon1, lat2, lon2, ratio):
         return (lon1, lat1)
     plat, plon, _ = WGS84.direct(lat1, lon1, azi1, ratio * s12)
     return (plon, plat)
+
+
+def geodesic_intermediate(lon1, lat1, lon2, lat2, fraction):
+    """Point(s) at ``fraction`` of the geodesic between two lon/lat points
+    (geodesic_intermediate.rs / Geodesic.point_at_ratio_between): the Karney
+    direct solution at fraction·s12 along the initial azimuth. Vectorized."""
+    import numpy as np
+
+    lon1 = np.asarray(lon1, dtype=np.float64)
+    lat1 = np.asarray(lat1, dtype=np.float64)
+    lon2 = np.asarray(lon2, dtype=np.float64)
+    lat2 = np.asarray(lat2, dtype=np.float64)
+    s12, azi1, _ = geodesic_inverse_batch(lat1, lon1, lat2, lon2)
+    lat, lon, _ = geodesic_direct_batch(
+        lat1, lon1, azi1, s12 * np.asarray(fraction, dtype=np.float64)
+    )
+    return lon, lat

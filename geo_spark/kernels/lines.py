@@ -611,3 +611,33 @@ def vector_normalize(ax, ay):
     n = np.hypot(ax, ay)
     with np.errstate(invalid="ignore", divide="ignore"):
         return np.where(n == 0, 0.0, ax / n), np.where(n == 0, 0.0, ay / n)
+
+
+def line_interpolate_point_metric(
+    coords: np.ndarray, fraction: float, metric: str = "haversine"
+):
+    """Point at ``fraction`` of the polyline's METRIC length (the metric
+    twin of ``line_interpolate_point``; InterpolateLine over a metric
+    space). Returns (lon, lat) or None for empty input."""
+    coords = np.asarray(coords, dtype=np.float64)
+    if len(coords) == 0:
+        return None
+    if len(coords) == 1:
+        return (float(coords[0, 0]), float(coords[0, 1]))
+    f = min(max(float(fraction), 0.0), 1.0)
+    pair_distance, at_ratio = _metric_segment_fns(metric)
+    a, b = coords[:-1], coords[1:]
+    seg = np.asarray(pair_distance(a[:, 0], a[:, 1], b[:, 0], b[:, 1]))
+    cum = np.concatenate([[0.0], np.cumsum(seg)])
+    total = float(cum[-1])
+    if total == 0.0:
+        return (float(coords[0, 0]), float(coords[0, 1]))
+    target = f * total
+    si = int(np.clip(np.searchsorted(cum, [target], side="right")[0] - 1, 0, len(seg) - 1))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ratio = (target - cum[si]) / seg[si] if seg[si] > 0 else 0.0
+    lon, lat = at_ratio(
+        a[si : si + 1, 0], a[si : si + 1, 1], b[si : si + 1, 0], b[si : si + 1, 1],
+        seg[si : si + 1], np.asarray([ratio]),
+    )
+    return (float(lon[0]), float(lat[0]))

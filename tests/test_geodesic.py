@@ -259,3 +259,17 @@ def test_rings_area_perimeter_batch_matches_scalar():
         a, p = WGS84.polygon_area_perimeter(ring[:, 0], ring[:, 1])
         assert abs(a - areas[i]) <= 1e-4 + 1e-10 * abs(a)
         assert abs(p - perims[i]) <= 1e-6 + 1e-12 * abs(p)
+
+
+def test_geodesic_intermediate_reference_doctest():
+    # geodesic_intermediate.rs doctest goldens (1e-6)
+    import numpy as np
+    from geo_spark.kernels.geodesic import geodesic_intermediate
+
+    for f, exp in [
+        (0.2, (29.842907, 29.951445)),
+        (0.5, (65.879360, 37.722253)),
+        (0.8, (103.556796, 33.506196)),
+    ]:
+        lon, lat = geodesic_intermediate([10.0], [20.0], [125.0], [25.0], f)
+        assert abs(lon[0] - exp[0]) < 1e-6 and abs(lat[0] - exp[1]) < 1e-6

@@ -331,3 +331,22 @@ def test_densify_geodesic_matches_direct():
     assert len(got) == n + 1
     lens = geodesic_inverse_batch(got[:-1, 1], got[:-1, 0], got[1:, 1], got[1:, 0])[0]
     assert np.allclose(lens, total / n, atol=1e-3)
+
+
+def test_line_interpolate_point_metric():
+    from geo_spark.kernels.lines import line_interpolate_point_metric
+    from geo_spark.kernels.measures import haversine_distance
+
+    c = _arr([(0, 0), (0, 6), (1, 7)])
+    # fraction 0.5 of total haversine length lies on the meridian segment
+    p = line_interpolate_point_metric(c, 0.5, "haversine")
+    assert abs(p[0]) < 1e-12
+    d1 = haversine_distance(0.0, 0.0, p[0], p[1])
+    total = (
+        haversine_distance(0.0, 0.0, 0.0, 6.0)
+        + haversine_distance(0.0, 6.0, 1.0, 7.0)
+    )
+    assert abs(d1 - total / 2) / total < 1e-12
+    # endpoints and clamping
+    assert line_interpolate_point_metric(c, 0.0, "geodesic") == (0.0, 0.0)
+    assert line_interpolate_point_metric(c, 1.5, "euclidean") == (1.0, 7.0)
