@@ -625,6 +625,10 @@ def line_interpolate_point_metric(
     if len(coords) == 1:
         return (float(coords[0, 0]), float(coords[0, 1]))
     f = min(max(float(fraction), 0.0), 1.0)
+    if f == 0.0:
+        return (float(coords[0, 0]), float(coords[0, 1]))
+    if f == 1.0:
+        return (float(coords[-1, 0]), float(coords[-1, 1]))
     pair_distance, at_ratio = _metric_segment_fns(metric)
     a, b = coords[:-1], coords[1:]
     seg = np.asarray(pair_distance(a[:, 0], a[:, 1], b[:, 0], b[:, 1]))
