@@ -607,7 +607,8 @@ def _q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geo_spark.streaming.joins import run_events_enrich_available_now
 
     sunk = run_events_enrich_available_now(
-        spark, f"{sf_dir}/events.parquet", sink_name="enrich_sink_q"
+        spark, f"{sf_dir}/events.parquet", sink_name="enrich_sink_q",
+        state_partitions=8,
     )
     return sunk.groupBy("event_type").agg(
         F.count("*").alias("n"),

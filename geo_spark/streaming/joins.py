@@ -93,13 +93,19 @@ def run_events_enrich_available_now(
     events_path: str,
     validity: str = "7 days",
     sink_name: str = "enrich_sink",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Drive the stream-stream join over the events table with
     ``availableNow`` triggers: 'signup' events are the dimension-version
     stream (a user's segment becomes effective at signup time and lasts
     ``validity``); all other events are the fact stream. Returns the sunk
     joined rows (append mode — inner interval joins emit exactly the
-    batch-equivalent result)."""
+    batch-equivalent result).
+
+    ``state_partitions``: override spark.sql.shuffle.partitions for this
+    query's state stores (None = inherit the session setting — the right
+    choice at scale; small drivers pass a small count so state-store init
+    stays proportional to the data)."""
     from geo_spark.streaming.dedup import as_stream_dir
 
     path = as_stream_dir(events_path)
@@ -126,12 +132,23 @@ def run_events_enrich_available_now(
         fact, dim, key="user_id", fact_ts="ts", dim_ts="effective_ts",
         validity=validity,
     )
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    # the join-state stores are partitioned by spark.sql.shuffle.partitions,
+    # fixed at the query's FIRST start; a bounded count keeps the
+    # state-store init cost proportional to the data, not the session's
+    # batch-shuffle setting (restore the session conf right after start)
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        if state_partitions is not None and prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
     return spark.table(sink_name)
