@@ -2127,7 +2127,8 @@ def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sink = f"sdedup_{uuid.uuid4().hex[:10]}"
     return run_streaming_dedup_available_now(
-        spark, f"{sf_dir}/documents.parquet", sink_name=sink
+        spark, f"{sf_dir}/documents.parquet", sink_name=sink,
+        state_partitions=8,
     )
 
 
@@ -2142,7 +2143,8 @@ def _q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sink = f"sess_{uuid.uuid4().hex[:10]}"
     return run_sessionize_available_now(
-        spark, f"{sf_dir}/events.parquet", sink_name=sink
+        spark, f"{sf_dir}/events.parquet", sink_name=sink,
+        state_partitions=8,
     )
 
 

@@ -30,6 +30,25 @@ def as_stream_dir(path: str) -> str:
     return d
 
 
+class _StatePartitions:
+    """Temporarily override spark.sql.shuffle.partitions while a streaming
+    query STARTS (state-store partitioning is fixed at first start); restores
+    the session setting immediately after. None = no-op (inherit session —
+    the scale-safe default; small drivers pass a small count)."""
+
+    def __init__(self, spark, n):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions", None)
+        if self.n is not None:
+            self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        if self.n is not None and self.prev is not None:
+            self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
+
 def streaming_dedup_hashes(
     stream: DataFrame,
     text_col: str = "text",
@@ -50,6 +69,7 @@ def run_streaming_dedup_available_now(
     docs_path: str,
     sink_name: str = "stream_dedup_sink",
     max_files_per_trigger: int | None = None,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Run the streaming dedup over a parquet dir/file with availableNow and
     return the deduped hash set as a batch DataFrame."""
@@ -68,13 +88,14 @@ def run_streaming_dedup_available_now(
             + F.make_interval(secs=(F.col("doc_id") % 3600).cast("int")),
         )
     out = streaming_dedup_hashes(stream)
-    q = (
-        out.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    with _StatePartitions(spark, state_partitions):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination()
     # cross-batch duplicates beyond the watermark horizon are legitimate
     # stream semantics; the driver-query surface distinct-ifies

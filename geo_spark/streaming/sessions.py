@@ -89,6 +89,7 @@ def run_sessionize_available_now(
     gap_sec: int = 1800,
     sink_name: str = "sessionize_sink",
     max_files_per_trigger: int | None = None,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Run the stateful sessionizer over a parquet dir with availableNow and
     return the final per-session batch DataFrame.
@@ -106,13 +107,15 @@ def run_sessionize_available_now(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(events_path)
     out = sessionize_stateful(stream, gap_sec)
-    q = (
-        out.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
+    from geo_spark.streaming.dedup import _StatePartitions
+    with _StatePartitions(spark, state_partitions):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination()
     sunk = spark.table(sink_name)
     w = Window.partitionBy("user_id", "session_idx").orderBy(F.col("n_events").desc())
