@@ -728,7 +728,7 @@ def _q_spade_triangulation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collinear bottom points). Closed forms: point-set triangulations have
     # 2V−h−2 triangles (unconstrained & constrained-outer: 8, hull area
     # s²), the simple polygon has V−2 = 6 with the polygon's own area
-    from geo_spark.operators.geometry2 import spade_triangulation_stats
+    from geo_spark.operators.geometry2 import spade_triangulation_all_stats
 
     df = _abc(spark, sf_dir).selectExpr("doc_id", "CAST(3 + doc_id % 5 AS DOUBLE) AS s")
     ring = F.expr(
@@ -746,17 +746,15 @@ def _q_spade_triangulation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     no_holes = F.array().cast("array<array<struct<x:double,y:double>>>")
     df = df.withColumn("ring", ring)
-    un = spade_triangulation_stats(F.col("ring"), no_holes, "unconstrained")
-    ou = spade_triangulation_stats(F.col("ring"), no_holes, "outer")
-    co = spade_triangulation_stats(F.col("ring"), no_holes, "constrained")
+    st = spade_triangulation_all_stats(F.col("ring"), no_holes)
     return df.select(
         "doc_id",
-        un["n_tri"].alias("n_unconstrained"),
-        F.round(un["area"], 9).alias("hull_area_u"),
-        ou["n_tri"].alias("n_outer"),
-        F.round(ou["area"], 9).alias("hull_area_o"),
-        co["n_tri"].alias("n_constrained"),
-        F.round(co["area"], 9).alias("poly_area"),
+        st["n_un"].alias("n_unconstrained"),
+        F.round(st["area_un"], 9).alias("hull_area_u"),
+        st["n_outer"].alias("n_outer"),
+        F.round(st["area_outer"], 9).alias("hull_area_o"),
+        st["n_con"].alias("n_constrained"),
+        F.round(st["area_con"], 9).alias("poly_area"),
     )
 
 

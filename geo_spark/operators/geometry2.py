@@ -583,3 +583,51 @@ def spade_triangulation_stats(exterior: Column, interiors: Column, mode: str) ->
         return pd.DataFrame({"n_tri": ns, "area": areas})
 
     return udf(exterior, interiors)
+
+
+def spade_triangulation_all_stats(exterior: Column, interiors: Column) -> Column:
+    """All three TriangulateSpade modes in ONE pass (unconstrained Delaunay
+    + one CDT, constrained derived by the interior filter) — struct
+    <n_un,area_un,n_outer,area_outer,n_con,area_con>."""
+
+    @F.pandas_udf(
+        "struct<n_un:int,area_un:double,n_outer:int,area_outer:double,"
+        "n_con:int,area_con:double>"
+    )
+    def udf(ext: pd.Series, hol: pd.Series) -> pd.DataFrame:
+        from geo_spark.kernels.predicates import polygon_position
+        from geo_spark.kernels.triangulate import spade_triangulation
+
+        cols = {k: [] for k in ("n_un", "area_un", "n_outer", "area_outer", "n_con", "area_con")}
+
+        def tot_area(pts, tris):
+            s = 0.0
+            for a, b, c in tris:
+                pa, pb, pc = pts[a], pts[b], pts[c]
+                s += abs(
+                    (pb[0] - pa[0]) * (pc[1] - pa[1])
+                    - (pb[1] - pa[1]) * (pc[0] - pa[0])
+                ) / 2.0
+            return s
+
+        for i in range(len(ext)):
+            hs = hol.iloc[i]
+            rings = [_to_np(ext.iloc[i])] + ([] if hs is None else [_to_np(h) for h in hs])
+            pts_u, un = spade_triangulation(rings, "unconstrained")
+            pts_o, outer = spade_triangulation(rings, "outer")
+            exterior_ring, holes = rings[0], rings[1:]
+            con = []
+            for t in outer:
+                cx = pts_o[list(t), 0].mean()
+                cy = pts_o[list(t), 1].mean()
+                if int(polygon_position([cx], [cy], exterior_ring, holes)[0]) == 1:
+                    con.append(t)
+            cols["n_un"].append(len(un))
+            cols["area_un"].append(tot_area(pts_u, un))
+            cols["n_outer"].append(len(outer))
+            cols["area_outer"].append(tot_area(pts_o, outer))
+            cols["n_con"].append(len(con))
+            cols["area_con"].append(tot_area(pts_o, con))
+        return pd.DataFrame(cols)
+
+    return udf(exterior, interiors)
