@@ -638,9 +638,12 @@ def _q_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # island + a dangling chain per doc → dangle dropped, 3 polygons, the
     # island double-emitted (hole of the left shell AND standalone) —
     # closed-form counts and area
+    from geo_spark.operators.dedup import ensure_parallelism
     from geo_spark.operators.geometry2 import polygonize_lines
 
-    df = _abc(spark, sf_dir).selectExpr("doc_id", "CAST(1 + doc_id % 5 AS DOUBLE) AS s")
+    df = ensure_parallelism(
+        _abc(spark, sf_dir).selectExpr("doc_id", "CAST(1 + doc_id % 5 AS DOUBLE) AS s")
+    )
     chains = F.expr(
         """
         array(
@@ -728,9 +731,12 @@ def _q_spade_triangulation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collinear bottom points). Closed forms: point-set triangulations have
     # 2V−h−2 triangles (unconstrained & constrained-outer: 8, hull area
     # s²), the simple polygon has V−2 = 6 with the polygon's own area
+    from geo_spark.operators.dedup import ensure_parallelism
     from geo_spark.operators.geometry2 import spade_triangulation_all_stats
 
-    df = _abc(spark, sf_dir).selectExpr("doc_id", "CAST(3 + doc_id % 5 AS DOUBLE) AS s")
+    df = ensure_parallelism(
+        _abc(spark, sf_dir).selectExpr("doc_id", "CAST(3 + doc_id % 5 AS DOUBLE) AS s")
+    )
     ring = F.expr(
         """
         array(struct(0.0d AS x, 0.0d AS y),

@@ -402,17 +402,18 @@ def _retriangulate_chain(chain, a, b, pts, out):
     _retriangulate_chain(chain[ci + 1 :], c, b, pts, out)
 
 
-def constrained_delaunay(points, constraints):
+def constrained_delaunay(points, constraints, base_tris=None):
     """Triangle index triples honoring every constraint edge.
 
     ``points``: (n,2); ``constraints``: iterable of (i, j) vertex-index
     pairs. A constraint with intermediate collinear vertices ON it is split
     at those vertices (spade inserts both endpoints and routes through
     existing vertices). Input constraints must not cross each other
-    (polygon boundaries never do).
+    (polygon boundaries never do). ``base_tris``: reuse an existing
+    unconstrained triangulation of the same points.
     """
     pts = np.asarray(points, dtype=np.float64)
-    tris = set(tuple(t) for t in delaunay(pts))
+    tris = set(tuple(t) for t in (base_tris if base_tris is not None else delaunay(pts)))
 
     def edges_of(t):
         return [(t[0], t[1]), (t[1], t[2]), (t[2], t[0])]

@@ -610,11 +610,35 @@ def spade_triangulation_all_stats(exterior: Column, interiors: Column) -> Column
                 ) / 2.0
             return s
 
+        from geo_spark.kernels.triangulate import constrained_delaunay
+
         for i in range(len(ext)):
             hs = hol.iloc[i]
             rings = [_to_np(ext.iloc[i])] + ([] if hs is None else [_to_np(h) for h in hs])
             pts_u, un = spade_triangulation(rings, "unconstrained")
-            pts_o, outer = spade_triangulation(rings, "outer")
+            # one Delaunay per row: the CDT starts from the unconstrained
+            # triangulation instead of recomputing it
+            pts_o = pts_u
+            # rebuild the constraint list the same way spade_triangulation does
+            seen = {}
+            ring_idx = []
+            for r in rings:
+                idxs = []
+                rr = r[:-1] if len(r) and (r[0] == r[-1]).all() else r
+                for x, y in rr:
+                    key = (float(x), float(y))
+                    if key not in seen:
+                        seen[key] = len(seen)
+                    idxs.append(seen[key])
+                ring_idx.append(idxs)
+            constraints = []
+            for idxs in ring_idx:
+                m_ = len(idxs)
+                for k in range(m_):
+                    a_, b_ = idxs[k], idxs[(k + 1) % m_]
+                    if a_ != b_:
+                        constraints.append((a_, b_))
+            outer = constrained_delaunay(pts_u, constraints, base_tris=un)
             exterior_ring, holes = rings[0], rings[1:]
             con = []
             for t in outer:
