@@ -638,12 +638,9 @@ def _q_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # island + a dangling chain per doc → dangle dropped, 3 polygons, the
     # island double-emitted (hole of the left shell AND standalone) —
     # closed-form counts and area
-    from geo_spark.operators.dedup import ensure_parallelism
     from geo_spark.operators.geometry2 import polygonize_lines
 
-    df = ensure_parallelism(
-        _abc(spark, sf_dir).selectExpr("doc_id", "CAST(1 + doc_id % 5 AS DOUBLE) AS s")
-    )
+    df = _abc(spark, sf_dir).selectExpr("doc_id", "CAST(1 + doc_id % 5 AS DOUBLE) AS s")
     chains = F.expr(
         """
         array(
@@ -696,7 +693,9 @@ def _q_transform_proj(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geo_spark.functions import utm_zone_col, web_mercator_x, web_mercator_y
     from geo_spark.operators.scalar import utm_project, utm_unproject
 
-    pts = _derived_points(spark, sf_dir).withColumn(
+    from geo_spark.operators.dedup import ensure_parallelism
+
+    pts = ensure_parallelism(_derived_points(spark, sf_dir)).withColumn(
         "slat", F.col("lat") * F.expr("CAST(0.9 AS DOUBLE)")
     )
     u = utm_project(F.col("lon"), F.col("slat"))
@@ -731,12 +730,9 @@ def _q_spade_triangulation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collinear bottom points). Closed forms: point-set triangulations have
     # 2V−h−2 triangles (unconstrained & constrained-outer: 8, hull area
     # s²), the simple polygon has V−2 = 6 with the polygon's own area
-    from geo_spark.operators.dedup import ensure_parallelism
     from geo_spark.operators.geometry2 import spade_triangulation_all_stats
 
-    df = ensure_parallelism(
-        _abc(spark, sf_dir).selectExpr("doc_id", "CAST(3 + doc_id % 5 AS DOUBLE) AS s")
-    )
+    df = _abc(spark, sf_dir).selectExpr("doc_id", "CAST(3 + doc_id % 5 AS DOUBLE) AS s")
     ring = F.expr(
         """
         array(struct(0.0d AS x, 0.0d AS y),
@@ -781,7 +777,9 @@ def _q_gc_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # centroid rule (centroid.rs:36 / JTS Centroid) — closed-form oracle
     from geo_spark.operators.gc import gc_centroid, gc_dimension
 
-    pts = _derived_points(spark, sf_dir)
+    from geo_spark.operators.dedup import ensure_parallelism
+
+    pts = ensure_parallelism(_derived_points(spark, sf_dir))
     gc = F.expr(
         """
         filter(array(
@@ -1100,11 +1098,18 @@ _TRAPEZOID = (
 
 
 def _abc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _docs(spark, sf_dir).selectExpr(
-        "doc_id",
-        "CAST(1 + doc_id % 7 AS DOUBLE) AS a",
-        "CAST(1 + doc_id % 5 AS DOUBLE) AS b",
-        "CAST(2 + doc_id % 5 AS DOUBLE) AS c",
+    # the small documents parquet scans as 1-2 partitions; the geometry
+    # queries built on this run CPU-bound pandas UDFs, so spread the rows
+    # (a no-op on already-parallel inputs — operators/dedup.ensure_parallelism)
+    from geo_spark.operators.dedup import ensure_parallelism
+
+    return ensure_parallelism(
+        _docs(spark, sf_dir).selectExpr(
+            "doc_id",
+            "CAST(1 + doc_id % 7 AS DOUBLE) AS a",
+            "CAST(1 + doc_id % 5 AS DOUBLE) AS b",
+            "CAST(2 + doc_id % 5 AS DOUBLE) AS c",
+        )
     )
 
 
@@ -1274,7 +1279,9 @@ def _q_densify_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # value-hash gated against DuckDB's re-derivation of the same slerp.
     from geo_spark.operators.scalar import densify_metric, segmentize_metric
 
-    pts = _derived_points(spark, sf_dir)
+    from geo_spark.operators.dedup import ensure_parallelism
+
+    pts = ensure_parallelism(_derived_points(spark, sf_dir))
     track = pts.select(
         "doc_id",
         F.expr(
