@@ -638,9 +638,12 @@ def _q_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # island + a dangling chain per doc → dangle dropped, 3 polygons, the
     # island double-emitted (hole of the left shell AND standalone) —
     # closed-form counts and area
+    from geo_spark.operators.dedup import ensure_parallelism
     from geo_spark.operators.geometry2 import polygonize_lines
 
-    df = _abc(spark, sf_dir).selectExpr("doc_id", "CAST(1 + doc_id % 5 AS DOUBLE) AS s")
+    df = ensure_parallelism(_abc(spark, sf_dir), heavy=True).selectExpr(
+        "doc_id", "CAST(1 + doc_id % 5 AS DOUBLE) AS s"
+    )
     chains = F.expr(
         """
         array(
@@ -730,9 +733,12 @@ def _q_spade_triangulation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collinear bottom points). Closed forms: point-set triangulations have
     # 2V−h−2 triangles (unconstrained & constrained-outer: 8, hull area
     # s²), the simple polygon has V−2 = 6 with the polygon's own area
+    from geo_spark.operators.dedup import ensure_parallelism
     from geo_spark.operators.geometry2 import spade_triangulation_all_stats
 
-    df = _abc(spark, sf_dir).selectExpr("doc_id", "CAST(3 + doc_id % 5 AS DOUBLE) AS s")
+    df = ensure_parallelism(_abc(spark, sf_dir), heavy=True).selectExpr(
+        "doc_id", "CAST(3 + doc_id % 5 AS DOUBLE) AS s"
+    )
     ring = F.expr(
         """
         array(struct(0.0d AS x, 0.0d AS y),
@@ -1098,18 +1104,15 @@ _TRAPEZOID = (
 
 
 def _abc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the small documents parquet scans as 1-2 partitions; the geometry
-    # queries built on this run CPU-bound pandas UDFs, so spread the rows
-    # (a no-op on already-parallel inputs — operators/dedup.ensure_parallelism)
-    from geo_spark.operators.dedup import ensure_parallelism
-
-    return ensure_parallelism(
-        _docs(spark, sf_dir).selectExpr(
-            "doc_id",
-            "CAST(1 + doc_id % 7 AS DOUBLE) AS a",
-            "CAST(1 + doc_id % 5 AS DOUBLE) AS b",
-            "CAST(2 + doc_id % 5 AS DOUBLE) AS c",
-        )
+    # NO blanket repartition here: _abc feeds both µs-per-row queries
+    # (centroid, affine) where a 32-task spread swamps the compute, and
+    # heavy kernels (spade, polygonize) which call
+    # ensure_parallelism(heavy=True) themselves at their own call sites
+    return _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        "CAST(1 + doc_id % 7 AS DOUBLE) AS a",
+        "CAST(1 + doc_id % 5 AS DOUBLE) AS b",
+        "CAST(2 + doc_id % 5 AS DOUBLE) AS c",
     )
 
 
@@ -1148,34 +1151,36 @@ def _zigzag_jitter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simplify_rdp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from geo_spark.operators.scalar import simplify_rdp
+    # fused simplify+fold pUDF: the previous four F.aggregate interpreted
+    # lambdas dominated the query (sandbox-measured ~100× per-element cost)
+    from geo_spark.operators.scalar import simplify_stats
 
     df = _zigzag_jitter(spark, sf_dir)
-    zz = simplify_rdp(F.col("zigzag"), 1.0)
-    jt = simplify_rdp(F.col("jitter"), 1.0)
+    szz = simplify_stats(F.col("zigzag"), 1.0, "rdp")
+    sjt = simplify_stats(F.col("jitter"), 1.0, "rdp")
     return df.select(
         "doc_id",
-        F.size(zz).alias("n_zigzag"),
-        F.aggregate(zz, F.lit(0.0), lambda acc, p: acc + p["x"]).alias("zz_sum_x"),
-        F.aggregate(zz, F.lit(0.0), lambda acc, p: acc + p["y"]).alias("zz_sum_y"),
-        F.size(jt).alias("n_jitter"),
-        F.aggregate(jt, F.lit(0.0), lambda acc, p: acc + p["x"]).alias("jt_sum_x"),
+        szz["n"].alias("n_zigzag"),
+        szz["sum_x"].alias("zz_sum_x"),
+        szz["sum_y"].alias("zz_sum_y"),
+        sjt["n"].alias("n_jitter"),
+        sjt["sum_x"].alias("jt_sum_x"),
     )
 
 
 def _q_simplify_vw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from geo_spark.operators.scalar import simplify_vw
+    from geo_spark.operators.scalar import simplify_stats
 
     df = _zigzag_jitter(spark, sf_dir)
-    zz = simplify_vw(F.col("zigzag"), 1.0)
-    jt = simplify_vw(F.col("jitter"), 1.0)
+    szz = simplify_stats(F.col("zigzag"), 1.0, "vw")
+    sjt = simplify_stats(F.col("jitter"), 1.0, "vw")
     return df.select(
         "doc_id",
-        F.size(zz).alias("n_zigzag"),
-        F.aggregate(zz, F.lit(0.0), lambda acc, p: acc + p["x"]).alias("zz_sum_x"),
-        F.aggregate(zz, F.lit(0.0), lambda acc, p: acc + p["y"]).alias("zz_sum_y"),
-        F.size(jt).alias("n_jitter"),
-        F.aggregate(jt, F.lit(0.0), lambda acc, p: acc + p["x"]).alias("jt_sum_x"),
+        szz["n"].alias("n_zigzag"),
+        szz["sum_x"].alias("zz_sum_x"),
+        szz["sum_y"].alias("zz_sum_y"),
+        sjt["n"].alias("n_jitter"),
+        sjt["sum_x"].alias("jt_sum_x"),
     )
 
 
@@ -1620,7 +1625,7 @@ def _q_triangulate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geo_spark.operators.dedup import ensure_parallelism
     from geo_spark.operators.geometry2 import delaunay_stitch_stats, triangulate
 
-    df = ensure_parallelism(_abc(spark, sf_dir)).selectExpr(
+    df = ensure_parallelism(_abc(spark, sf_dir), heavy=True).selectExpr(
         "doc_id",
         "a",
         "b",
@@ -1663,7 +1668,7 @@ def _q_unary_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geo_spark.operators.dedup import ensure_parallelism
     from geo_spark.operators.geometry2 import unary_union_rings
 
-    df = ensure_parallelism(_docs(spark, sf_dir)).selectExpr(
+    df = ensure_parallelism(_docs(spark, sf_dir), heavy=True).selectExpr(
         "doc_id", "2 + doc_id % 4 AS k"
     )
     df = df.selectExpr(
@@ -1860,7 +1865,7 @@ def _q_buffer_mitre(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geo_spark.operators.geometry2 import buffer_polygon_stats
 
     df = ensure_parallelism(
-        _docs(spark, sf_dir).filter(F.col("doc_id") % 5 == 0)
+        _docs(spark, sf_dir).filter(F.col("doc_id") % 5 == 0), heavy=True
     ).selectExpr("doc_id", "CAST(4 + doc_id % 5 AS DOUBLE) AS s")
     df = df.selectExpr(
         "doc_id",

@@ -187,7 +187,7 @@ def cosine_near_pairs(
         ).astype(np.int64)
         return pd.Series(list(vals))
 
-    d = ensure_parallelism(df).select(F.col(id_col), F.col(vec_col).alias("_vec"))
+    d = ensure_parallelism(df, heavy=True).select(F.col(id_col), F.col(vec_col).alias("_vec"))
     banded = (
         d.withColumn("_b", band_udf(F.col("_vec")))
         .select(id_col, "_vec", F.posexplode("_b").alias("band_idx", "band_hash"))

@@ -40,15 +40,64 @@ _MERSENNE = (1 << 61) - 1
 _N_PERM_DEFAULT = 64
 
 
-def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+_BYTES_PER_PARTITION = 4 << 20  # ~4 MB of scanned input per partition
+
+
+def _input_bytes(df: DataFrame) -> int | None:
+    """Total bytes of the files this plan scans (local/file: paths only)."""
+    import os as _os
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        p = f
+        if p.startswith("file:"):
+            p = p[5:]
+            while p.startswith("//"):
+                p = p[1:]
+        try:
+            total += _os.path.getsize(p)
+        except OSError:
+            return None
+    return total
+
+
+def ensure_parallelism(
+    df: DataFrame, min_parts: int | None = None, *, heavy: bool = False
+) -> DataFrame:
     """Repartition narrow inputs so CPU-bound per-row stages use every core.
 
-    A small parquet table often scans as 1-2 partitions, serializing the
-    shingling/fingerprint stages onto one core; a real web-scale table has
-    thousands of partitions and this is a no-op (the partition count check
-    never shrinks or shuffles an already-parallel input)."""
+    Partition-target policy (size-aware — a blanket spread to
+    ``defaultParallelism`` adds a shuffle + per-task pandas-UDF setup that
+    swamps µs-per-row compute on small tables):
+
+    - explicit ``min_parts`` wins;
+    - ``heavy=True`` — the caller declares ≥~100 µs/row Python kernel cost
+      (Delaunay, overlay, buffer, hashing folds): spread to every core even
+      when the input is byte-tiny;
+    - default: one partition per ~4 MB of scanned input bytes
+      (``df.inputFiles()`` sizes), capped at ``defaultParallelism`` — a
+      driver-scale table keeps its 1-2 scan partitions, and a web-scale
+      table already has thousands of partitions so the count check below
+      makes this a no-op (never shrinks, never shuffles an already-parallel
+      input).
+    """
     spark = df.sparkSession
-    target = min_parts or spark.sparkContext.defaultParallelism
+    hw = spark.sparkContext.defaultParallelism
+    if min_parts is not None:
+        target = min_parts
+    elif heavy:
+        target = hw
+    else:
+        nbytes = _input_bytes(df)
+        if nbytes is None:
+            return df
+        target = min(hw, max(1, nbytes // _BYTES_PER_PARTITION))
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
@@ -203,7 +252,7 @@ def minhash_signatures(
             out.append(vals.min(axis=1).astype(np.int64))
         return pd.Series(out)
 
-    return ensure_parallelism(df).select(
+    return ensure_parallelism(df, heavy=True).select(
         id_col, sig_udf(gram_hashes_col(text_col, ngram, hasher)).alias("signature")
     )
 
@@ -295,7 +344,7 @@ def simhash_fingerprints(
             out[i] = fp
         return pd.Series(out)
 
-    return ensure_parallelism(df).select(id_col, simhash_udf(hashes).alias("simhash"))
+    return ensure_parallelism(df, heavy=True).select(id_col, simhash_udf(hashes).alias("simhash"))
 
 
 def simhash_near_pairs(

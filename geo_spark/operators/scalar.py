@@ -33,18 +33,64 @@ def _to_rows(coords: np.ndarray):
     return [{"x": float(x), "y": float(y)} for x, y in coords]
 
 
+# ---------------------------------------------------------------------------
+# Arrow-native coords marshalling.
+#
+# An ``array<struct<x,y>>`` column crosses Arrow into a pandas UDF as an
+# ndarray of per-coordinate PYTHON DICTS (measured on this PySpark) — a
+# Python loop per vertex on both sides of every kernel. Instead we split the
+# struct array into two ``array<double>`` columns JVM-side (``F.transform``,
+# whole-stage codegen); those arrive as float64 numpy arrays per row, the
+# kernel input is one ``np.column_stack``, and kernel output goes back as
+# ``struct<xs,ys>`` reassembled JVM-side with ``arrays_zip`` + positional
+# struct cast. ArrowEvalPython materializes the UDF result once per plan, so
+# referencing both output fields does NOT re-run the UDF (verified on plan:
+# single pythonUDF0 attribute).
+# ---------------------------------------------------------------------------
+
+_XY_OUT = "struct<xs:array<double>, ys:array<double>>"
+
+
+def _xy_cols(coords: Column) -> tuple[Column, Column]:
+    return (
+        F.transform(coords, lambda p: p["x"]),
+        F.transform(coords, lambda p: p["y"]),
+    )
+
+
+def _np2(x, y) -> np.ndarray:
+    """(n,2) float64 from the per-row x/y numpy arrays (None → empty)."""
+    if x is None or len(x) == 0:
+        return np.empty((0, 2), dtype=np.float64)
+    return np.column_stack(
+        (np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64))
+    )
+
+
+def _zip_xy(r: Column) -> Column:
+    return F.arrays_zip(r["xs"], r["ys"]).cast(COORDS_TYPE)
+
+
 def _lift_coords_fn(fn):
-    """Lift a numpy (n,2)->(m,2) kernel into a coords-column pandas UDF."""
+    """Lift a numpy (n,2)->(m,2) kernel into a coords-column transform."""
 
-    @F.pandas_udf(COORDS_TYPE)
-    def udf(coords: pd.Series, *params: pd.Series) -> pd.Series:
-        out = []
-        for i, arr in enumerate(coords):
+    @F.pandas_udf(_XY_OUT)
+    def udf(xs: pd.Series, ys: pd.Series, *params: pd.Series) -> pd.DataFrame:
+        oxs, oys = [], []
+        for i in range(len(xs)):
             args = [p.iloc[i] for p in params]
-            out.append(_to_rows(fn(_to_np(arr), *args)))
-        return pd.Series(out)
+            out = np.asarray(
+                fn(_np2(xs.iloc[i], ys.iloc[i]), *args), dtype=np.float64
+            ).reshape(-1, 2)
+            oxs.append(out[:, 0])
+            oys.append(out[:, 1])
+        return pd.DataFrame({"xs": oxs, "ys": oys})
 
-    return udf
+    def apply(coords: Column, *params: Column) -> Column:
+        x, y = _xy_cols(coords)
+        return _zip_xy(udf(x, y, *params))
+
+    return apply
 
 
 def simplify_rdp(coords: Column, epsilon) -> Column:
@@ -57,6 +103,34 @@ def simplify_vw(coords: Column, epsilon) -> Column:
     from geo_spark.kernels.simplify import visvalingam
 
     return _lift_coords_fn(visvalingam)(coords, F.lit(epsilon).cast("double"))
+
+
+def simplify_stats(coords: Column, epsilon, algo: str = "rdp") -> Column:
+    """struct<n:int, sum_x:double, sum_y:double> of the simplified line.
+
+    Fused kernel + reduction: Catalyst's ``F.aggregate`` higher-order lambda
+    is interpreted per element (~100× slower than the numpy fold on this
+    box), so aggregation-shaped consumers of simplify should use this
+    instead of materializing the coords and folding in SQL.
+    """
+    from geo_spark.kernels.simplify import rdp, visvalingam
+
+    fn = rdp if algo == "rdp" else visvalingam
+
+    @F.pandas_udf("struct<n:int, sum_x:double, sum_y:double>")
+    def udf(xs: pd.Series, ys: pd.Series, eps: pd.Series) -> pd.DataFrame:
+        ns, sx, sy = [], [], []
+        for i in range(len(xs)):
+            out = np.asarray(
+                fn(_np2(xs.iloc[i], ys.iloc[i]), float(eps.iloc[i])), dtype=np.float64
+            ).reshape(-1, 2)
+            ns.append(out.shape[0])
+            sx.append(float(out[:, 0].sum()))
+            sy.append(float(out[:, 1].sum()))
+        return pd.DataFrame({"n": ns, "sum_x": sx, "sum_y": sy})
+
+    x, y = _xy_cols(coords)
+    return udf(x, y, F.lit(epsilon).cast("double"))
 
 
 def chaikin(coords: Column, n_iterations: int = 1) -> Column:
@@ -94,15 +168,20 @@ def segmentize_metric_pieces(coords: Column, n_segments: int, metric: str = "hav
     shape, interior vertices retained) as array<array<struct<x,y>>>."""
     from geo_spark.kernels.lines import segmentize_metric_pieces as _k
 
-    @F.pandas_udf(T.ArrayType(COORDS_TYPE))
-    def udf(arrs: pd.Series, ns: pd.Series) -> pd.Series:
-        out = []
-        for i, arr in enumerate(arrs):
-            pieces = _k(_to_np(arr), int(ns.iloc[i]), metric)
-            out.append([_to_rows(p) for p in pieces])
-        return pd.Series(out)
+    @F.pandas_udf("struct<xs:array<array<double>>, ys:array<array<double>>>")
+    def udf(xs: pd.Series, ys: pd.Series, ns: pd.Series) -> pd.DataFrame:
+        oxs, oys = [], []
+        for i in range(len(xs)):
+            pieces = _k(_np2(xs.iloc[i], ys.iloc[i]), int(ns.iloc[i]), metric)
+            oxs.append([p[:, 0] for p in pieces])
+            oys.append([p[:, 1] for p in pieces])
+        return pd.DataFrame({"xs": oxs, "ys": oys})
 
-    return udf(coords, F.lit(int(n_segments)))
+    x, y = _xy_cols(coords)
+    r = udf(x, y, F.lit(int(n_segments)))
+    return F.zip_with(r["xs"], r["ys"], lambda a, b: F.arrays_zip(a, b)).cast(
+        T.ArrayType(COORDS_TYPE)
+    )
 
 
 def remove_repeated(coords: Column) -> Column:
@@ -122,30 +201,36 @@ def interpolate_point(coords: Column, fraction) -> Column:
     from geo_spark.kernels.lines import line_interpolate_point
 
     @F.pandas_udf("struct<x:double,y:double>")
-    def udf(arrs: pd.Series, fr: pd.Series) -> pd.DataFrame:
+    def udf(axs: pd.Series, ays: pd.Series, fr: pd.Series) -> pd.DataFrame:
         xs, ys = [], []
-        for i, arr in enumerate(arrs):
-            p = line_interpolate_point(_to_np(arr), float(fr.iloc[i]))
+        for i in range(len(axs)):
+            p = line_interpolate_point(_np2(axs.iloc[i], ays.iloc[i]), float(fr.iloc[i]))
             xs.append(None if p is None else p[0])
             ys.append(None if p is None else p[1])
         return pd.DataFrame({"x": xs, "y": ys})
 
-    return udf(coords, F.lit(fraction).cast("double"))
+    x, y = _xy_cols(coords)
+    return udf(x, y, F.lit(fraction).cast("double"))
 
 
 def locate_point(coords: Column, px, py) -> Column:
     from geo_spark.kernels.lines import line_locate_point
 
     @F.pandas_udf(T.DoubleType())
-    def udf(arrs: pd.Series, xs: pd.Series, ys: pd.Series) -> pd.Series:
+    def udf(axs: pd.Series, ays: pd.Series, xs: pd.Series, ys: pd.Series) -> pd.Series:
         out = []
-        for i, arr in enumerate(arrs):
-            out.append(line_locate_point(_to_np(arr), float(xs.iloc[i]), float(ys.iloc[i])))
+        for i in range(len(axs)):
+            out.append(
+                line_locate_point(
+                    _np2(axs.iloc[i], ays.iloc[i]), float(xs.iloc[i]), float(ys.iloc[i])
+                )
+            )
         return pd.Series(out, dtype="float64")
 
     px = F.lit(px).cast("double") if not isinstance(px, Column) else px
     py = F.lit(py).cast("double") if not isinstance(py, Column) else py
-    return udf(coords, px, py)
+    x, y = _xy_cols(coords)
+    return udf(x, y, px, py)
 
 
 def substring_line(coords: Column, start, end) -> Column:
@@ -160,24 +245,34 @@ def frechet(coords_a: Column, coords_b: Column) -> Column:
     from geo_spark.kernels.lines import frechet_distance
 
     @F.pandas_udf(T.DoubleType())
-    def udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    def udf(ax: pd.Series, ay: pd.Series, bx: pd.Series, by: pd.Series) -> pd.Series:
         return pd.Series(
-            [frechet_distance(_to_np(x), _to_np(y)) for x, y in zip(a, b)]
+            [
+                frechet_distance(_np2(ax.iloc[i], ay.iloc[i]), _np2(bx.iloc[i], by.iloc[i]))
+                for i in range(len(ax))
+            ]
         )
 
-    return udf(coords_a, coords_b)
+    xa, ya = _xy_cols(coords_a)
+    xb, yb = _xy_cols(coords_b)
+    return udf(xa, ya, xb, yb)
 
 
 def hausdorff(coords_a: Column, coords_b: Column) -> Column:
     from geo_spark.kernels.lines import hausdorff_distance
 
     @F.pandas_udf(T.DoubleType())
-    def udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    def udf(ax: pd.Series, ay: pd.Series, bx: pd.Series, by: pd.Series) -> pd.Series:
         return pd.Series(
-            [hausdorff_distance(_to_np(x), _to_np(y)) for x, y in zip(a, b)]
+            [
+                hausdorff_distance(_np2(ax.iloc[i], ay.iloc[i]), _np2(bx.iloc[i], by.iloc[i]))
+                for i in range(len(ax))
+            ]
         )
 
-    return udf(coords_a, coords_b)
+    xa, ya = _xy_cols(coords_a)
+    xb, yb = _xy_cols(coords_b)
+    return udf(xa, ya, xb, yb)
 
 
 def ring_area_sql(coords: Column) -> Column:
@@ -242,10 +337,13 @@ def is_convex(coords: Column) -> Column:
     from geo_spark.kernels.lines import is_ring_convex
 
     @F.pandas_udf(T.BooleanType())
-    def udf(arrs: pd.Series) -> pd.Series:
-        return pd.Series([bool(is_ring_convex(_to_np(a))) for a in arrs])
+    def udf(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        return pd.Series(
+            [bool(is_ring_convex(_np2(xs.iloc[i], ys.iloc[i]))) for i in range(len(xs))]
+        )
 
-    return udf(coords)
+    x, y = _xy_cols(coords)
+    return udf(x, y)
 
 
 def closest_point_col(coords: Column, px, py) -> Column:
@@ -257,10 +355,12 @@ def closest_point_col(coords: Column, px, py) -> Column:
     from geo_spark.kernels.lines import closest_point_on_line
 
     @F.pandas_udf("struct<kind:string,x:double,y:double>")
-    def udf(arrs: pd.Series, xs: pd.Series, ys: pd.Series) -> pd.DataFrame:
+    def udf(axs: pd.Series, ays: pd.Series, xs: pd.Series, ys: pd.Series) -> pd.DataFrame:
         kinds, qx, qy = [], [], []
-        for i, arr in enumerate(arrs):
-            r = closest_point_on_line(_to_np(arr), float(xs.iloc[i]), float(ys.iloc[i]))
+        for i in range(len(axs)):
+            r = closest_point_on_line(
+                _np2(axs.iloc[i], ays.iloc[i]), float(xs.iloc[i]), float(ys.iloc[i])
+            )
             kinds.append(None if r is None else r[0])
             qx.append(None if r is None else r[1])
             qy.append(None if r is None else r[2])
@@ -268,7 +368,8 @@ def closest_point_col(coords: Column, px, py) -> Column:
 
     px = F.lit(px).cast("double") if not isinstance(px, Column) else px
     py = F.lit(py).cast("double") if not isinstance(py, Column) else py
-    return udf(coords, px, py)
+    x, y = _xy_cols(coords)
+    return udf(x, y, px, py)
 
 
 def geometry_distance_cols(kind_a: Column, coords_a: Column, kind_b: Column, coords_b: Column) -> Column:
@@ -288,15 +389,20 @@ def geometry_distance_cols(kind_a: Column, coords_a: Column, kind_b: Column, coo
         return ("Polygon", [arr])
 
     @F.pandas_udf(T.DoubleType())
-    def udf(ka: pd.Series, ca: pd.Series, kb: pd.Series, cb: pd.Series) -> pd.Series:
+    def udf(
+        ka: pd.Series, ax: pd.Series, ay: pd.Series,
+        kb: pd.Series, bx: pd.Series, by: pd.Series,
+    ) -> pd.Series:
         out = []
         for i in range(len(ka)):
-            ga = mk(ka.iloc[i], _to_np(ca.iloc[i]))
-            gb = mk(kb.iloc[i], _to_np(cb.iloc[i]))
+            ga = mk(ka.iloc[i], _np2(ax.iloc[i], ay.iloc[i]))
+            gb = mk(kb.iloc[i], _np2(bx.iloc[i], by.iloc[i]))
             out.append(geometry_distance(ga, gb))
         return pd.Series(out, dtype="float64")
 
-    return udf(kind_a, coords_a, kind_b, coords_b)
+    xa, ya = _xy_cols(coords_a)
+    xb, yb = _xy_cols(coords_b)
+    return udf(kind_a, xa, ya, kind_b, xb, yb)
 
 
 def centroid(coords: Column, kind: str = "polygon") -> Column:
@@ -306,15 +412,16 @@ def centroid(coords: Column, kind: str = "polygon") -> Column:
     fn = polygon_centroid if kind == "polygon" else linestring_centroid
 
     @F.pandas_udf("struct<x:double,y:double>")
-    def udf(arrs: pd.Series) -> pd.DataFrame:
+    def udf(axs: pd.Series, ays: pd.Series) -> pd.DataFrame:
         xs, ys = [], []
-        for a in arrs:
-            p = fn(_to_np(a))
+        for i in range(len(axs)):
+            p = fn(_np2(axs.iloc[i], ays.iloc[i]))
             xs.append(None if p is None else p[0])
             ys.append(None if p is None else p[1])
         return pd.DataFrame({"x": xs, "y": ys})
 
-    return udf(coords)
+    x, y = _xy_cols(coords)
+    return udf(x, y)
 
 
 def utm_project(lon: Column, lat: Column) -> Column:

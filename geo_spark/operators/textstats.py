@@ -130,7 +130,7 @@ def winnow_fingerprints(
 
     from geo_spark.operators.dedup import ensure_parallelism
 
-    return ensure_parallelism(df).select(
+    return ensure_parallelism(df, heavy=True).select(
         F.col(id_col), F.explode(win_min(gh)).alias("fp_hash")
     )
 
