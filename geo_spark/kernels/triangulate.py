@@ -81,9 +81,17 @@ def delaunay(points: np.ndarray) -> list[tuple[int, int, int]]:
         # (measured ~1.5 ms for 8 points); the scalar walk is ~5× faster
         # and uses the same two-stage incircle, so answers are identical
         return _delaunay_small(pts)
-    # super-triangle framing all points
+    # Super-triangle framing all points. The distance factor bounds the
+    # classic finite-super-triangle artifact: a point at distance d from a
+    # hull edge of chord L has circumradius ~L²/(8d); if that reaches the
+    # super vertices, the hull edge is triangulated THROUGH them and
+    # dropping super triangles leaves a concave pocket (measured: a point
+    # 8e-4 off a hull edge lost a 3e-4-area triangle at factor 64). At 1e12
+    # the artifact needs d ≲ L/1e12 — pocket area ≲ 1e-12·span², below
+    # every oracle/test tolerance; exactness is unaffected (the two-stage
+    # incircle falls back to scaled-integer arithmetic at any magnitude).
     cx, cy = pts[:, 0].mean(), pts[:, 1].mean()
-    span = max(pts[:, 0].ptp(), pts[:, 1].ptp(), 1.0) * 64.0
+    span = max(pts[:, 0].ptp(), pts[:, 1].ptp(), 1.0) * 1e12
     sup = np.array(
         [[cx - 2 * span, cy - span], [cx + 2 * span, cy - span], [cx, cy + 2 * span]]
     )
@@ -95,27 +103,31 @@ def delaunay(points: np.ndarray) -> list[tuple[int, int, int]]:
     ccx = np.empty(cap, dtype=np.float64)
     ccy = np.empty(cap, dtype=np.float64)
     rr2 = np.empty(cap, dtype=np.float64)  # circumradius², inf for degenerate
+    sus = np.zeros(cap, dtype=bool)  # ill-conditioned: always decide exactly
     live = np.zeros(cap, dtype=bool)
     m = 0  # high-water mark
 
     def _push(a: int, b: int, c: int):
-        nonlocal m, cap, tri, ccx, ccy, rr2, live
+        nonlocal m, cap, tri, ccx, ccy, rr2, sus, live
         if m == cap:
             cap *= 2
             tri = np.resize(tri, (cap, 3))
             ccx = np.resize(ccx, cap)
             ccy = np.resize(ccy, cap)
             rr2 = np.resize(rr2, cap)
+            sus = np.resize(sus, cap)
             live = np.resize(live, cap)
             live[m:] = False
         tri[m] = (a, b, c)
         cc = circumcenter(all_pts[a], all_pts[b], all_pts[c])
         if cc is None:
             ccx[m], ccy[m], rr2[m] = np.inf, np.inf, np.inf
+            sus[m] = False  # degenerate: removed on any insertion, as before
         else:
             ccx[m], ccy[m] = cc
             dx, dy = all_pts[a, 0] - cc[0], all_pts[a, 1] - cc[1]
             rr2[m] = dx * dx + dy * dy
+            sus[m] = _ill_conditioned(all_pts[a], all_pts[b], all_pts[c])
         live[m] = True
         m += 1
 
@@ -132,8 +144,15 @@ def delaunay(points: np.ndarray) -> list[tuple[int, int, int]]:
         scale = d2 + rr2[act]
         tol = 1e-9 * scale
         diff = d2 - rr2[act]
-        inside = diff < -tol
-        border = np.abs(diff) <= tol
+        # sliver triangles: the float circumcenter carries ~eps·L²/|2A| error
+        # (catastrophic cancellation), which can exceed the tol band in BOTH
+        # directions — a far triangle wrongly lands in the cavity with no
+        # exact check, corrupting the cavity boundary and losing whole
+        # triangles (hull under-coverage bug, round 5). Such triangles are
+        # flagged at _push time and always decided exactly.
+        sus_act = sus[act]
+        inside = (diff < -tol) & ~sus_act
+        border = (np.abs(diff) <= tol) | sus_act
         bad_idx = list(act[inside])
         for j in act[border]:
             a, b, c = tri[j]
@@ -179,7 +198,8 @@ def _delaunay_small(pts: np.ndarray) -> list[tuple[int, int, int]]:
     n = len(pts)
     cx = float(pts[:, 0].mean())
     cy = float(pts[:, 1].mean())
-    span = max(float(pts[:, 0].ptp()), float(pts[:, 1].ptp()), 1.0) * 64.0
+    # 1e12: see the super-triangle pocket-artifact note in delaunay()
+    span = max(float(pts[:, 0].ptp()), float(pts[:, 1].ptp()), 1.0) * 1e12
     coords = [(float(x), float(y)) for x, y in pts]
     coords += [
         (cx - 2 * span, cy - span),
@@ -190,10 +210,11 @@ def _delaunay_small(pts: np.ndarray) -> list[tuple[int, int, int]]:
     def mk(a, b, c):
         cc = circumcenter(coords[a], coords[b], coords[c])
         if cc is None:
-            return (a, b, c, float("inf"), float("inf"), float("inf"))
+            return (a, b, c, float("inf"), float("inf"), float("inf"), False)
         dx = coords[a][0] - cc[0]
         dy = coords[a][1] - cc[1]
-        return (a, b, c, cc[0], cc[1], dx * dx + dy * dy)
+        ill = _ill_conditioned(coords[a], coords[b], coords[c])
+        return (a, b, c, cc[0], cc[1], dx * dx + dy * dy, ill)
 
     tris = [mk(n, n + 1, n + 2)]
     for i in range(n):
@@ -202,6 +223,9 @@ def _delaunay_small(pts: np.ndarray) -> list[tuple[int, int, int]]:
         rest = []
         maybe = []
         for t in tris:
+            if t[6]:  # sliver: float circumcenter unreliable — decide exactly
+                maybe.append(t)
+                continue
             dx = t[3] - px
             dy = t[4] - py
             d2 = dx * dx + dy * dy
@@ -250,6 +274,24 @@ def _delaunay_small(pts: np.ndarray) -> list[tuple[int, int, int]]:
     return [
         (t[0], t[1], t[2]) for t in tris if max(t[0], t[1], t[2]) < n
     ]
+
+
+def _ill_conditioned(a, b, c) -> bool:
+    """True when the float circumcircle of (a,b,c) cannot be trusted.
+
+    The circumcenter solve divides by twice the signed area; its relative
+    error is ~eps·L²/|2A| (L = edge length scale). With the Bowyer-Watson
+    tolerance band at 1e-9 of scale, the float in/out classification is only
+    safe when |2A| ≳ eps·L²·1e10 ≈ 2e-6·L² — use 1e-5·L² with margin.
+    Flagged (sliver) triangles are rare in a Delaunay set and always go
+    through the exact two-stage ``incircle``.
+    """
+    abx, aby = b[0] - a[0], b[1] - a[1]
+    acx, acy = c[0] - a[0], c[1] - a[1]
+    bcx, bcy = c[0] - b[0], c[1] - b[1]
+    two_area = abs(abx * acy - aby * acx)
+    l2 = max(abx * abx + aby * aby, acx * acx + acy * acy, bcx * bcx + bcy * bcy)
+    return two_area < 1e-5 * l2
 
 
 def circumcenter(a, b, c) -> tuple[float, float] | None:
@@ -435,9 +477,10 @@ def constrained_delaunay(points, constraints, base_tris=None):
         )
 
     stack = [tuple(c) for c in constraints]
+    want = []  # atomic (post-collinear-split) constraint edges, verified below
     while stack:
         i, j = stack.pop()
-        if i == j or has_edge(i, j):
+        if i == j:
             continue
         mids = [k for k in range(len(pts)) if on_open_segment(k, i, j)]
         if mids:
@@ -446,6 +489,9 @@ def constrained_delaunay(points, constraints, base_tris=None):
             mids.sort(key=lambda k: (pts[k] - pts[i]) @ d)
             seq = [i] + mids + [j]
             stack.extend((seq[k], seq[k + 1]) for k in range(len(seq) - 1))
+            continue
+        want.append((i, j))
+        if has_edge(i, j):
             continue
         # cavity: triangles with an edge properly crossing (i, j)
         crossing = set()
@@ -457,7 +503,19 @@ def constrained_delaunay(points, constraints, base_tris=None):
                     removed.append(t)
                     break
         if not removed:
-            continue  # nothing blocks the edge (degenerate) — leave as-is
+            if not tris:
+                continue  # fully degenerate input (all points collinear)
+            # With the base triangulation covering the convex hull exactly,
+            # an absent edge must cross something; reaching here means the
+            # triangulation under-covers (e.g. a sliver pocket thinner than
+            # the super-triangle artifact bound). Fail loudly — silently
+            # continuing returns a triangulation that violates the
+            # constraint contract and loses polygon area (round-5 ADVICE).
+            raise RuntimeError(
+                f"constrained_delaunay: constraint edge ({i},{j}) is absent "
+                "and crosses no triangle edge — base triangulation under-"
+                "covers its hull"
+            )
         removed = set(removed)
         tris -= removed
         boundary = {}
@@ -480,28 +538,46 @@ def constrained_delaunay(points, constraints, base_tris=None):
                             pts[k][0], pts[k][1])
 
         chains = []
-        for want in (1, -1):
+        for side_sign in (1, -1):
             chain = []
             prev, cur = None, i
             while cur != j:
                 nxts = [
                     v for v in adj.get(cur, [])
-                    if v != prev and (v == j or side(v) == want)
+                    if v != prev and (v == j or side(v) == side_sign)
                 ]
                 if not nxts:
-                    chain = None
-                    break
+                    # a failed walk leaves one cavity side untriangulated —
+                    # fail loudly rather than return a holed triangulation
+                    raise RuntimeError(
+                        f"constrained_delaunay: cavity boundary walk for "
+                        f"edge ({i},{j}) dead-ends at vertex {cur} "
+                        f"(side {side_sign})"
+                    )
                 prev, cur = cur, nxts[0]
                 if cur != j:
                     chain.append(cur)
             chains.append(chain)
         out = []
         for chain in chains:
-            if chain is None:
-                continue
             _retriangulate_chain(chain, i, j, pts, out)
         for t in out:
             tris.add(t)
+    # post-pass: every atomic constraint edge must exist in the output
+    if tris:
+        final_edges = set()
+        for t in tris:
+            for (u, v) in edges_of(t):
+                final_edges.add((u, v) if u <= v else (v, u))
+        missing = [
+            (i, j) for (i, j) in want
+            if ((i, j) if i <= j else (j, i)) not in final_edges
+        ]
+        if missing:
+            raise RuntimeError(
+                f"constrained_delaunay: constraint edges {missing} missing "
+                "from the final triangulation"
+            )
     return [tuple(int(x) for x in t) for t in tris]
 
 

@@ -103,7 +103,11 @@ def gc_centroid(gc: Column) -> Column:
         return pd.DataFrame({"x": xs, "y": ys})
 
     res = udf(_nonempty(gc))
-    # struct-of-nulls → NULL struct (the empty collection has no centroid)
+    # struct-of-nulls → NULL struct (the empty collection has no centroid).
+    # Referencing `res` twice does NOT re-run the UDF: ExtractPythonUDFs
+    # dedups the equal PythonUDF subtrees into one ArrowEvalPython attribute
+    # (verified on this Spark: plan shows a single pythonUDF0, and an
+    # accumulator in the UDF counts exactly one batch per partition).
     return F.when(res["x"].isNotNull(), res)
 
 

@@ -182,9 +182,10 @@ def voronoi_of_group(
         out["cell_ring"] = [_to_rows(c) for c in cells]
         return pd.DataFrame(out)
 
-    id_part = f"{id_col} long, " if id_col is not None else ""
+    dtypes = dict(df.dtypes)  # carry caller's group/id types (strings work)
+    id_part = f"{id_col} {dtypes[id_col]}, " if id_col is not None else ""
     schema = (
-        f"{group_col} long, {id_part}{lon_col} double, {lat_col} double, "
+        f"{group_col} {dtypes[group_col]}, {id_part}{lon_col} double, {lat_col} double, "
         "cell_ring array<struct<x:double,y:double>>"
     )
     return df.groupBy(group_col).applyInPandas(fn, schema=schema)
@@ -343,6 +344,10 @@ def voronoi_distributed(
         sites = sites.withColumn("_grp", F.lit(0))
         gcol = "_grp"
     s = sites.select(gcol, id_col, lon_col, lat_col).cache()
+    # carry the caller's group/id types through both applyInPandas schemas
+    # (string region keys etc. — no integer-group restriction)
+    dtypes = dict(s.dtypes)
+    gtype, itype = dtypes[gcol], dtypes[id_col]
     aggs = (
         s.groupBy(gcol)
         .agg(
@@ -374,7 +379,7 @@ def voronoi_distributed(
 
     ring_t = "array<struct<x:double,y:double>>"
     schema1 = (
-        f"{gcol} long, {id_col} long, {lon_col} double, {lat_col} double, "
+        f"{gcol} {gtype}, {id_col} {itype}, {lon_col} double, {lat_col} double, "
         f"cell_ring {ring_t}, certified boolean, r double"
     )
 
@@ -395,8 +400,8 @@ def voronoi_distributed(
                 r = float(d.max())
             else:
                 r = float("inf")
-            rows[gcol].append(int(key[0]))
-            rows[id_col].append(int(ids[i]))
+            rows[gcol].append(key[0])
+            rows[id_col].append(ids[i])
             rows[lon_col].append(float(pts[i, 0]))
             rows[lat_col].append(float(pts[i, 1]))
             rows["cell_ring"].append(_to_rows(ring))
@@ -427,22 +432,22 @@ def voronoi_distributed(
         return F.lit(rk << _Z_BITS).bitwiseOR(z).cast("long")
 
     schema2 = (
-        f"{gcol} long, {id_col} long, {lon_col} double, {lat_col} double, "
+        f"{gcol} {gtype}, {id_col} {itype}, {lon_col} double, {lat_col} double, "
         f"cell_ring {ring_t}"
     )
 
     def pass2(pdf: pd.DataFrame) -> pd.DataFrame:
         from geo_spark.kernels.triangulate import voronoi_cell_of_site
 
-        rect = rects[int(pdf["_sgrp"].iloc[0])]
+        rect = rects[pdf["_sgrp"].iloc[0]]
         real = pdf[pdf["_cand_id"].notna()].sort_values("_cand_id", kind="mergesort")
         p = (float(pdf["_slon"].iloc[0]), float(pdf["_slat"].iloc[0]))
         nb = real[["_clon", "_clat"]].to_numpy(dtype=np.float64)
         ring = voronoi_cell_of_site(np.asarray(p), nb, rect)
         return pd.DataFrame(
             {
-                gcol: [int(pdf["_sgrp"].iloc[0])],
-                id_col: [int(pdf["_sid"].iloc[0])],
+                gcol: [pdf["_sgrp"].iloc[0]],
+                id_col: [pdf["_sid"].iloc[0]],
                 lon_col: [p[0]],
                 lat_col: [p[1]],
                 "cell_ring": [_to_rows(ring)],
@@ -506,7 +511,7 @@ def voronoi_distributed(
             F.col(id_col).alias("_sid"),
             F.col(lon_col).alias("_slon"),
             F.col(lat_col).alias("_slat"),
-            F.lit(None).cast("long").alias("_cand_id"),
+            F.lit(None).cast(itype).alias("_cand_id"),
             F.lit(0.0).alias("_clon"),
             F.lit(0.0).alias("_clat"),
         )

@@ -156,12 +156,18 @@ def knn_join(
     target_id: str = "tid",
     coarse_retry_levels: int = 4,
     exclude_self: bool = False,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Return (query cols..., tid, dist, rank) — the k nearest targets per query.
 
     ``queries`` needs (query_id, lon, lat); ``targets`` (target_id, lon, lat).
     Exact for every metric: results are certified against the ring's covered
-    radius; uncertified queries retry coarser and finally brute-force.
+    radius; uncertified queries retry at progressively coarser levels
+    (``res - coarse_retry_levels``, ``res - 2·coarse_retry_levels``, … down
+    to level 1), and only the remainder still uncertified at level 1 — a
+    provably sparse tail (its 3×3 neighborhood at level 1 spans ≥ a
+    hemisphere) — takes the brute cross-join. ``stats_out`` (tests): filled
+    with ``brute_queries`` = the brute remainder count.
     """
     q = queries.select(query_id, F.col("lon").alias("_qlon"), F.col("lat").alias("_qlat"))
     t = targets.select(target_id, F.col("lon").alias("_tlon"), F.col("lat").alias("_tlat"))
@@ -195,19 +201,32 @@ def knn_join(
         rcov = _covered_radius_col(metric, F.col("_lat"), res_)
         return per_q.filter((F.col("_n") >= k) & (F.col("_kth") <= rcov)).select(query_id)
 
-    result = topk(candidates_at(q, res)).persist(StorageLevel.MEMORY_AND_DISK)
-    filled = certified(result, res)
+    first = topk(candidates_at(q, res)).persist(StorageLevel.MEMORY_AND_DISK)
+    filled = certified(first, res)
+    pieces = [first.join(filled, query_id, "left_semi")]
     stragglers = q.join(filled, query_id, "left_anti")
-    retry_res = max(res - coarse_retry_levels, 0)
-    if retry_res < res:
-        retry = topk(candidates_at(stragglers, retry_res)).persist(
+    level = res
+    step = max(coarse_retry_levels, 1)
+    while level > 1:
+        level = max(level - step, 1)
+        if level == 1:
+            break
+        retry = topk(candidates_at(stragglers, level)).persist(
             StorageLevel.MEMORY_AND_DISK
         )
-        filled2 = certified(retry, retry_res)
-        still = stragglers.join(filled2, query_id, "left_anti")
-        brute = topk(still.crossJoin(t))
-        retry_ok = retry.join(filled2, query_id, "left_semi")
-        result = result.join(filled, query_id, "left_semi")
-        result = result.unionByName(retry_ok).unionByName(brute)
+        fl = certified(retry, level)
+        pieces.append(retry.join(fl, query_id, "left_semi"))
+        stragglers = stragglers.join(fl, query_id, "left_anti")
+    if stats_out is not None:
+        stats_out["brute_queries"] = stragglers.count()
+    # Exhaustive tail, still a bucketed join (no crossJoin): at level 1 the
+    # 2×2 grid's ±1 wrap makes every target a candidate of every remaining
+    # query, so this top-k is exact with NO certificate needed. The tail is
+    # only queries uncertified at every coarser ring — a sparse-region/
+    # adversarial remainder (bounded in tests via ``stats_out``).
+    pieces.append(topk(candidates_at(stragglers, 1)))
+    from functools import reduce
+
+    result = reduce(lambda a, b: a.unionByName(b), pieces)
     out = result.drop("_n").withColumnRenamed("_qlon", "qlon").withColumnRenamed("_qlat", "qlat")
     return out.withColumnRenamed("_tlon", "tlon").withColumnRenamed("_tlat", "tlat")

@@ -45,8 +45,14 @@ class _StatePartitions:
             self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
 
     def __exit__(self, *exc):
-        if self.n is not None and self.prev is not None:
+        if self.n is None:
+            return
+        if self.prev is not None:
             self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        else:
+            # no prior session value readable: unset rather than leaving the
+            # low streaming override bound to all later batch shuffles
+            self.spark.conf.unset("spark.sql.shuffle.partitions")
 
 
 def streaming_dedup_hashes(

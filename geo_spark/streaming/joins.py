@@ -136,10 +136,9 @@ def run_events_enrich_available_now(
     # fixed at the query's FIRST start; a bounded count keeps the
     # state-store init cost proportional to the data, not the session's
     # batch-shuffle setting (restore the session conf right after start)
-    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
-    if state_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
+    from geo_spark.streaming.dedup import _StatePartitions
+
+    with _StatePartitions(spark, state_partitions):
         q = (
             joined.writeStream.format("memory")
             .queryName(sink_name)
@@ -147,8 +146,5 @@ def run_events_enrich_available_now(
             .trigger(availableNow=True)
             .start()
         )
-    finally:
-        if state_partitions is not None and prev is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
     return spark.table(sink_name)

@@ -163,3 +163,73 @@ def test_spade_constrained_with_hole():
         for k in range(len(ring) - 1):
             i, j = idx_of(ring[k]), idx_of(ring[k + 1])
             assert (min(i, j), max(i, j)) in edges
+
+
+def test_delaunay_covers_hull_with_near_edge_points():
+    # Regression (round 5): a point at distance ~1e-4..1e-13 from a hull
+    # edge has a circumcircle large enough to reach a too-close super
+    # triangle; the old 64x-span frame triangulated the hull edge THROUGH
+    # the super vertices and dropping them left a concave pocket (observed
+    # 3e-4 lost area on a 9-point set). The frame is now 1e12x span.
+    import numpy as np
+    from geo_spark.kernels.hull import quick_hull
+    from geo_spark.kernels.triangulate import delaunay
+
+    def tri_area_sum(pts, tris):
+        s = 0.0
+        for (a, b, c) in tris:
+            pa, pb, pc = pts[a], pts[b], pts[c]
+            s += abs((pb[0]-pa[0])*(pc[1]-pa[1])-(pb[1]-pa[1])*(pc[0]-pa[0]))/2
+        return s
+
+    def hull_area(pts):
+        h = np.asarray(quick_hull(pts))
+        x, y = h[:, 0], h[:, 1]
+        return abs(np.sum(x*np.roll(y, -1)-np.roll(x, -1)*y))/2
+
+    rng = np.random.default_rng(7)
+    for trial in range(300):
+        n = int(rng.integers(4, 40))  # covers scalar (<=32) and vector paths
+        pts = rng.random((n, 2))
+        pts[0] = (0.0, 0.0)
+        pts[1] = (1.0, 0.0)
+        pts[2] = (rng.random(), rng.random() * 10.0 ** -rng.integers(3, 14))
+        da = tri_area_sum(pts, delaunay(pts))
+        ha = hull_area(pts)
+        assert abs(da - ha) < 1e-9 * max(ha, 1e-9), (trial, ha - da)
+
+
+def test_constrained_delaunay_honors_every_edge_near_degenerate():
+    # Regression (round-5 ADVICE): constrained_delaunay silently dropped a
+    # constraint edge when the base triangulation under-covered a sliver;
+    # it now both recovers (bigger frame) and verifies every constraint.
+    import numpy as np
+    from geo_spark.kernels.triangulate import spade_triangulation
+
+    def poly_area(ring):
+        x, y = ring[:-1, 0], ring[:-1, 1]
+        return abs(np.sum(x*np.roll(y, -1)-np.roll(x, -1)*y))/2
+
+    rng = np.random.default_rng(0)
+    tested = 0
+    for trial in range(400):
+        n = int(rng.integers(4, 12))
+        pts = rng.random((n, 2))
+        if trial % 2:
+            pts[:, 1] *= 10.0 ** -rng.integers(2, 13)
+            pts[int(rng.integers(0, n)), 1] = rng.random() * 0.5 + 0.1
+        c = pts.mean(axis=0)
+        ang = np.arctan2(pts[:, 1]-c[1], pts[:, 0]-c[0])
+        pts = pts[np.argsort(ang)]
+        ring = np.vstack([pts, pts[:1]])
+        true_a = poly_area(ring)
+        if true_a < 1e-12:
+            continue
+        tested += 1
+        ppts, tris = spade_triangulation([ring], mode="constrained")
+        got = 0.0
+        for (a, b, c3) in tris:
+            pa, pb, pc = ppts[a], ppts[b], ppts[c3]
+            got += abs((pb[0]-pa[0])*(pc[1]-pa[1])-(pb[1]-pa[1])*(pc[0]-pa[0]))/2
+        assert abs(got - true_a) < 1e-9 * max(true_a, 1e-9), (trial, true_a, got)
+    assert tested > 300

@@ -62,3 +62,8 @@ def test_jts_general_corpus():
     assert results["pass"] >= 2210, (results, failures[:10])
     assert results["fail"] == 0, failures
     assert results["skip"] == 0, results
+    # round 5: fallback crashes are recorded, not swallowed — a bug in the
+    # second-chance pipeline must not masquerade as a legitimate fail
+    from tools.jts_runner import FALLBACK_ERRORS
+
+    assert not FALLBACK_ERRORS, FALLBACK_ERRORS[:5]

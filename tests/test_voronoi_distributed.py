@@ -110,3 +110,33 @@ def test_distributed_plan_is_multi_task(spark):
     assert n_tiles >= 8, n_tiles
     out = voronoi_distributed(df)
     assert out.count() == n
+
+
+def test_distributed_string_group_keys(spark):
+    # Round-5 ADVICE: the applyInPandas schemas hardcoded long group/id
+    # types; non-integer group keys (string region names) must work and
+    # match the per-group single-task result.
+    from geo_spark.operators.geometry2 import voronoi_distributed, voronoi_of_group
+
+    rng = np.random.RandomState(17)
+    n = 300
+    pts = np.column_stack([rng.uniform(0, 30, n), rng.uniform(0, 20, n)])
+    names = ["east", "west", "mid"]
+    df = spark.createDataFrame(
+        [
+            (int(i), float(x), float(y), names[int(i) % 3])
+            for i, (x, y) in enumerate(pts)
+        ],
+        "site_id long, lon double, lat double, region string",
+    )
+    got = voronoi_distributed(df, id_col="site_id", group_col="region", res=3)
+    assert dict(got.dtypes)["region"] == "string"
+    gotr = _rings(got.collect(), key=lambda r: (r["region"], r["site_id"]))
+    exp = _rings(
+        voronoi_of_group(
+            df.withColumnRenamed("region", "group_id"), id_col="site_id"
+        ).collect(),
+        key=lambda r: (r["group_id"], r["site_id"]),
+    )
+    assert set(gotr) == set(exp)
+    assert all(_same_ring(gotr[k], exp[k]) for k in exp)

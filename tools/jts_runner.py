@@ -1799,9 +1799,19 @@ def run_case(c):  # noqa: F811 — deliberate wrapper
                     return "pass"
             elif _compare_mixed(mine, exp):
                 return "pass"
-    except Exception:
-        pass
+    except Exception as ex:
+        # a crash in the fallback pipeline must stay visible — otherwise a
+        # fallback bug is indistinguishable from a legitimate fail
+        FALLBACK_ERRORS.append((c.get("file"), c.get("desc"), c.get("op"), repr(ex)))
+        print(
+            f"[jts_runner] fallback exception in {c.get('file')} "
+            f"({c.get('desc')}, op={c.get('op')}): {ex!r}",
+            file=sys.stderr,
+        )
     return r
+
+
+FALLBACK_ERRORS: list = []  # (file, desc, op, exc) per second-chance crash
 
 
 def run_corpus(files=None):
@@ -1827,5 +1837,9 @@ def run_corpus(files=None):
 if __name__ == "__main__":
     res, fails = run_corpus()
     print(res)
+    if FALLBACK_ERRORS:
+        print(f"fallback exceptions: {len(FALLBACK_ERRORS)}")
+        for e in FALLBACK_ERRORS[:20]:
+            print("FALLBACK-EXC", e)
     for f in fails[:60]:
         print("FAIL", f)
