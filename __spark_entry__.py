@@ -2028,8 +2028,10 @@ def _q_voronoi_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sites = _derived_points(spark, sf_dir).filter(F.col("doc_id") % 4 == 0)
     # distributed construction (tile+halo certificates) — no global
-    # single-task stage; geometric correctness still PIP-gated below
-    cells = voronoi_distributed(sites, id_col="doc_id")
+    # single-task stage; geometric correctness still PIP-gated below.
+    # persist: pip_join evaluates its polygon side twice (cover collect +
+    # broadcast join) — without this the whole Voronoi plan re-executes
+    cells = voronoi_distributed(sites, id_col="doc_id").persist()
     polys = cells.select(
         F.col("doc_id").alias("polygon_id"),
         F.col("cell_ring").alias("exterior"),

@@ -98,63 +98,80 @@ def delaunay(points: np.ndarray) -> list[tuple[int, int, int]]:
     all_pts = np.vstack([pts, sup])
     s0, s1, s2 = n, n + 1, n + 2
 
+    # COMPACT live buffers: rows [0, m) are the live triangles. Removal is
+    # swap-from-tail (O(cavity) fancy-index copies), so every per-insertion
+    # broadcast touches only live triangles — the mask-over-high-water-mark
+    # layout scanned ~3× more rows (dead ones) per insertion.
     cap = max(16, 4 * n + 16)
     tri = np.empty((cap, 3), dtype=np.int64)
     ccx = np.empty(cap, dtype=np.float64)
     ccy = np.empty(cap, dtype=np.float64)
     rr2 = np.empty(cap, dtype=np.float64)  # circumradius², inf for degenerate
-    sus = np.zeros(cap, dtype=bool)  # ill-conditioned: always decide exactly
-    live = np.zeros(cap, dtype=bool)
-    m = 0  # high-water mark
+    dcc = np.empty(cap, dtype=np.float64)  # |Δcc| circumcenter error bound
+    vax = np.empty(cap, dtype=np.float64)  # anchor vertex (for the |p-a| term)
+    vay = np.empty(cap, dtype=np.float64)
+    m = 0  # live count
 
     def _push(a: int, b: int, c: int):
-        nonlocal m, cap, tri, ccx, ccy, rr2, sus, live
+        nonlocal m, cap, tri, ccx, ccy, rr2, dcc, vax, vay
         if m == cap:
             cap *= 2
             tri = np.resize(tri, (cap, 3))
             ccx = np.resize(ccx, cap)
             ccy = np.resize(ccy, cap)
             rr2 = np.resize(rr2, cap)
-            sus = np.resize(sus, cap)
-            live = np.resize(live, cap)
-            live[m:] = False
+            dcc = np.resize(dcc, cap)
+            vax = np.resize(vax, cap)
+            vay = np.resize(vay, cap)
         tri[m] = (a, b, c)
-        cc = circumcenter(all_pts[a], all_pts[b], all_pts[c])
+        pa, pb, pc = all_pts[a], all_pts[b], all_pts[c]
+        cc = circumcenter(pa, pb, pc)
+        # anchor r² and the |p-a| cancellation term at a REAL vertex when
+        # one exists: a super anchor puts |p-a| at frame scale and inflates
+        # the band to ~scale for every super-adjacent triangle
+        v0 = a if a < n else (b if b < n else c)
+        p0 = all_pts[v0]
         if cc is None:
-            ccx[m], ccy[m], rr2[m] = np.inf, np.inf, np.inf
-            sus[m] = False  # degenerate: removed on any insertion, as before
+            ccx[m], ccy[m], rr2[m], dcc[m] = np.inf, np.inf, np.inf, np.inf
         else:
             ccx[m], ccy[m] = cc
-            dx, dy = all_pts[a, 0] - cc[0], all_pts[a, 1] - cc[1]
+            dx, dy = p0[0] - cc[0], p0[1] - cc[1]
             rr2[m] = dx * dx + dy * dy
-            sus[m] = _ill_conditioned(all_pts[a], all_pts[b], all_pts[c])
-        live[m] = True
+            dcc[m] = _circumcenter_err(pa, pb, pc)
+        vax[m], vay[m] = p0[0], p0[1]
         m += 1
 
     _push(s0, s1, s2)
 
     for i in range(n):
         px, py = all_pts[i]
-        act = np.flatnonzero(live[:m])
-        dx = ccx[act] - px
-        dy = ccy[act] - py
+        dx = ccx[:m] - px
+        dy = ccy[:m] - py
         d2 = dx * dx + dy * dy
-        # error band: float circumcenter/radius² carry relative error; treat
-        # |d² - r²| below eps·scale as undecided and decide exactly
-        scale = d2 + rr2[act]
-        tol = 1e-9 * scale
-        diff = d2 - rr2[act]
-        # sliver triangles: the float circumcenter carries ~eps·L²/|2A| error
-        # (catastrophic cancellation), which can exceed the tol band in BOTH
-        # directions — a far triangle wrongly lands in the cavity with no
-        # exact check, corrupting the cavity boundary and losing whole
-        # triangles (hull under-coverage bug, round 5). Such triangles are
-        # flagged at _push time and always decided exactly.
-        sus_act = sus[act]
-        inside = (diff < -tol) & ~sus_act
-        border = (np.abs(diff) <= tol) | sus_act
-        bad_idx = list(act[inside])
-        for j in act[border]:
+        scale = d2 + rr2[:m]
+        diff = d2 - rr2[:m]
+        # Per-triangle error band. The float circumcenter carries an
+        # absolute error |Δcc| ≲ dcc (cancellation-prone for slivers), but
+        # it CANCELS in the difference: δ(d²-r²) = 2·Δcc·(a-p), so the
+        # bound is 2·dcc·|p-a| plus plain rounding of the squares
+        # (~eps·scale). A sliver (huge dcc) is always decided exactly; a
+        # well-conditioned triangle — including super-adjacent ones whose
+        # |p-a| stays cluster-sized while dcc is moderate — gets a tight
+        # band and stays on the fast float path. (The old blanket
+        # 1e-9·scale band both MISSED sliver misclassification — the round-5
+        # hull under-coverage bug — and flooded the exact path for
+        # super-adjacent circles once the frame grew to 1e12×span.)
+        pax = vax[:m] - px
+        pay = vay[:m] - py
+        pa_dist = np.sqrt(pax * pax + pay * pay)
+        tol = 32.0 * _EPS * scale + 8.0 * dcc[:m] * pa_dist
+        inside = diff < -tol
+        # complement form: inf·0 → nan tol (duplicate point on a degenerate
+        # triangle) and inf tol both classify as border → exact test
+        border = ~inside & ~(diff > tol)
+        bad_idx = list(np.flatnonzero(inside))
+        border_idx = np.flatnonzero(border)
+        for j in border_idx:
             a, b, c = tri[j]
             pa, pb, pc = all_pts[a], all_pts[b], all_pts[c]
             if incircle(pa[0], pa[1], pb[0], pb[1], pc[0], pc[1], px, py) > 0:
@@ -162,7 +179,7 @@ def delaunay(points: np.ndarray) -> list[tuple[int, int, int]]:
         if not bad_idx:
             # on/outside due to degeneracy — accept boundary-of-circumcircle
             # (incircle == 0) triangles for insertion
-            for j in act[border]:
+            for j in border_idx:
                 a, b, c = tri[j]
                 pa, pb, pc = all_pts[a], all_pts[b], all_pts[c]
                 if incircle(pa[0], pa[1], pb[0], pb[1], pc[0], pc[1], px, py) >= 0:
@@ -177,8 +194,21 @@ def delaunay(points: np.ndarray) -> list[tuple[int, int, int]]:
                 counts[key] = counts.get(key, 0) + 1
                 orient[key] = e
         boundary = [orient[k] for k, v in counts.items() if v == 1]
-        for j in bad_idx:
-            live[j] = False
+        # compact removal: fill removed slots below the new top from
+        # surviving tail rows (order is irrelevant)
+        k = len(bad_idx)
+        if k:
+            bad_set = set(int(j) for j in bad_idx)
+            top = m - k
+            src = [p for p in range(top, m) if p not in bad_set]
+            dst = [int(p) for p in bad_idx if p < top]
+            if dst:
+                di = np.asarray(dst, dtype=np.int64)
+                si = np.asarray(src, dtype=np.int64)
+                tri[di] = tri[si]
+                for arr in (ccx, ccy, rr2, dcc, vax, vay):
+                    arr[di] = arr[si]
+            m = top
         for (u, v) in boundary:
             # keep CCW orientation with the new point
             a, b = all_pts[u], all_pts[v]
@@ -187,8 +217,7 @@ def delaunay(points: np.ndarray) -> list[tuple[int, int, int]]:
             else:
                 _push(v, u, i)
     # drop triangles touching the super-triangle
-    act = np.flatnonzero(live[:m])
-    return [tuple(int(v) for v in tri[j]) for j in act if tri[j].max() < n]
+    return [tuple(int(v) for v in tri[j]) for j in range(m) if tri[j].max() < n]
 
 
 def _delaunay_small(pts: np.ndarray) -> list[tuple[int, int, int]]:
@@ -208,13 +237,20 @@ def _delaunay_small(pts: np.ndarray) -> list[tuple[int, int, int]]:
     ]
 
     def mk(a, b, c):
-        cc = circumcenter(coords[a], coords[b], coords[c])
+        pa, pb, pc = coords[a], coords[b], coords[c]
+        cc = circumcenter(pa, pb, pc)
+        # real-vertex anchor — see the vectorized _push note
+        v0 = a if a < n else (b if b < n else c)
+        p0 = coords[v0]
         if cc is None:
-            return (a, b, c, float("inf"), float("inf"), float("inf"), False)
-        dx = coords[a][0] - cc[0]
-        dy = coords[a][1] - cc[1]
-        ill = _ill_conditioned(coords[a], coords[b], coords[c])
-        return (a, b, c, cc[0], cc[1], dx * dx + dy * dy, ill)
+            inf = float("inf")
+            return (a, b, c, inf, inf, inf, inf, p0[0], p0[1])
+        dx = p0[0] - cc[0]
+        dy = p0[1] - cc[1]
+        return (
+            a, b, c, cc[0], cc[1], dx * dx + dy * dy,
+            _circumcenter_err(pa, pb, pc), p0[0], p0[1],
+        )
 
     tris = [mk(n, n + 1, n + 2)]
     for i in range(n):
@@ -223,17 +259,21 @@ def _delaunay_small(pts: np.ndarray) -> list[tuple[int, int, int]]:
         rest = []
         maybe = []
         for t in tris:
-            if t[6]:  # sliver: float circumcenter unreliable — decide exactly
-                maybe.append(t)
-                continue
             dx = t[3] - px
             dy = t[4] - py
             d2 = dx * dx + dy * dy
-            tol = 1e-9 * (d2 + t[5])
             diff = d2 - t[5]
+            # per-triangle band: 2·Δcc·|p-a| cancellation bound + rounding
+            # (see the vectorized-path note); nan/inf tol → exact test
+            pax = t[7] - px
+            pay = t[8] - py
+            tol = (
+                32.0 * _EPS * (d2 + t[5])
+                + 8.0 * t[6] * (pax * pax + pay * pay) ** 0.5
+            )
             if diff < -tol:
                 bad.append(t)
-            elif abs(diff) <= tol:
+            elif not diff > tol:
                 maybe.append(t)
             else:
                 rest.append(t)
@@ -276,22 +316,30 @@ def _delaunay_small(pts: np.ndarray) -> list[tuple[int, int, int]]:
     ]
 
 
-def _ill_conditioned(a, b, c) -> bool:
-    """True when the float circumcircle of (a,b,c) cannot be trusted.
+def _circumcenter_err(a, b, c) -> float:
+    """First-order bound on the float circumcenter's absolute error |Δcc|.
 
-    The circumcenter solve divides by twice the signed area; its relative
-    error is ~eps·L²/|2A| (L = edge length scale). With the Bowyer-Watson
-    tolerance band at 1e-9 of scale, the float in/out classification is only
-    safe when |2A| ≳ eps·L²·1e10 ≈ 2e-6·L² — use 1e-5·L² with margin.
-    Flagged (sliver) triangles are rare in a Delaunay set and always go
-    through the exact two-stage ``incircle``.
+    ``circumcenter`` computes u = N/d with N a 3-term sum of
+    (x²+y²)·Δcoord products and d = 4·area. Each rounding in N contributes
+    ≲ eps·|term|, and d's own cancellation error scales the quotient by the
+    same ratio, so |Δcc| ≲ eps·(Σ|term|)/|d| up to a small constant (the
+    caller multiplies by a safety factor). Degenerate d = 0 → inf. Slivers
+    make this huge — which is the point: the Bowyer-Watson band then routes
+    every decision about them to the exact incircle.
     """
-    abx, aby = b[0] - a[0], b[1] - a[1]
-    acx, acy = c[0] - a[0], c[1] - a[1]
-    bcx, bcy = c[0] - b[0], c[1] - b[1]
-    two_area = abs(abx * acy - aby * acx)
-    l2 = max(abx * abx + aby * aby, acx * acx + acy * acy, bcx * bcx + bcy * bcy)
-    return two_area < 1e-5 * l2
+    m2 = max(
+        a[0] * a[0] + a[1] * a[1],
+        b[0] * b[0] + b[1] * b[1],
+        c[0] * c[0] + c[1] * c[1],
+    )
+    lsum = (
+        abs(b[1] - c[1]) + abs(c[1] - a[1]) + abs(a[1] - b[1])
+        + abs(b[0] - c[0]) + abs(c[0] - a[0]) + abs(a[0] - b[0])
+    )
+    d = 2.0 * (a[0] * (b[1] - c[1]) + b[0] * (c[1] - a[1]) + c[0] * (a[1] - b[1]))
+    if d == 0:
+        return float("inf")
+    return _EPS * m2 * lsum / abs(d)
 
 
 def circumcenter(a, b, c) -> tuple[float, float] | None:
@@ -369,31 +417,46 @@ def voronoi_cell_of_site(p, neighbors, clip_rect) -> np.ndarray:
     feeds it the certified candidate gather (a superset of the true
     neighbors — extra bisectors are inactive and leave the polygon
     untouched). Returns a closed ring, or (0,2) when the cell is empty.
+
+    Scalar Sutherland–Hodgman: cells are ~8 vertices, where Python float
+    arithmetic beats numpy's per-op dispatch ~10× (measured; this loop is
+    the per-tile hot path of the distributed Voronoi). The operations are
+    the same IEEE doubles in the same order as the previous
+    ``_clip_half_plane`` formulation — results are bit-identical.
     """
-    from geo_spark.kernels.clip import _clip_half_plane
-
-    p = np.asarray(p, dtype=np.float64)
-    neighbors = np.asarray(neighbors, dtype=np.float64).reshape(-1, 2)
+    px, py = float(p[0]), float(p[1])
     x0, y0, x1, y1 = clip_rect
-    cell = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]], dtype=np.float64)
-    for q in neighbors:
-        if len(cell) < 3:
+    cell = [
+        (float(x0), float(y0)), (float(x1), float(y0)),
+        (float(x1), float(y1)), (float(x0), float(y1)),
+    ]
+    neighbors = np.asarray(neighbors, dtype=np.float64).reshape(-1, 2)
+    for qx, qy in neighbors.tolist():
+        m = len(cell)
+        if m < 3:
             break
-        mid = (p + q) / 2.0
-        nrm = q - p  # points toward q; keep the side where (x-mid)·nrm <= 0
-
-        def inside_mask(arr, mid=mid, nrm=nrm):
-            return (arr[:, 0] - mid[0]) * nrm[0] + (arr[:, 1] - mid[1]) * nrm[1] <= 0
-
-        def isect(a, b, mid=mid, nrm=nrm):
-            da = (a[0] - mid[0]) * nrm[0] + (a[1] - mid[1]) * nrm[1]
-            db = (b[0] - mid[0]) * nrm[0] + (b[1] - mid[1]) * nrm[1]
-            t = da / (da - db)
-            return np.array([a[0] + t * (b[0] - a[0]), a[1] + t * (b[1] - a[1])])
-
-        cell = _clip_half_plane(cell, inside_mask, isect)
+        mx, my = (px + qx) / 2.0, (py + qy) / 2.0
+        nx, ny = qx - px, qy - py  # toward q; keep (v-mid)·nrm <= 0
+        d = [(vx - mx) * nx + (vy - my) * ny for (vx, vy) in cell]
+        out = []
+        for i in range(m):
+            j = i + 1 if i + 1 < m else 0
+            di, dj = d[i], d[j]
+            if di <= 0:
+                out.append(cell[i])
+                if dj > 0:
+                    t = di / (di - dj)
+                    ax, ay = cell[i]
+                    bx, by = cell[j]
+                    out.append((ax + t * (bx - ax), ay + t * (by - ay)))
+            elif dj <= 0:
+                t = di / (di - dj)
+                ax, ay = cell[i]
+                bx, by = cell[j]
+                out.append((ax + t * (bx - ax), ay + t * (by - ay)))
+        cell = out
     if len(cell) >= 3:
-        return np.vstack([cell, cell[:1]])
+        return np.asarray(cell + [cell[0]], dtype=np.float64)
     return np.empty((0, 2), dtype=np.float64)
 
 

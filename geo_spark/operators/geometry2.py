@@ -515,8 +515,15 @@ def voronoi_distributed(
             F.lit(0.0).alias("_clon"),
             F.lit(0.0).alias("_clat"),
         )
+        # explicit numbered repartition on the group keys: the candidate
+        # table is byte-tiny, so AQE would coalesce the groupBy shuffle to
+        # ONE task and serialize every per-site clip; REPARTITION_BY_NUM is
+        # exempt from coalescing and already satisfies the applyInPandas
+        # clustering (no second exchange)
+        npart = s.sparkSession.sparkContext.defaultParallelism
         out = (
             cand.unionByName(base_rows)
+            .repartition(npart, "_sgrp", "_sid")
             .groupBy("_sgrp", "_sid")
             .applyInPandas(pass2, schema=schema2)
         )
