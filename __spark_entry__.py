@@ -1200,7 +1200,11 @@ _SIMPLIFY_ORACLE = """
 
 
 def _lshape(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _abc(spark, sf_dir).selectExpr(
+    # four kernel pUDFs (densify/interpolate/locate/substring) run per row
+    # on this input — spread it (heavy), unlike the µs-per-row _abc queries
+    from geo_spark.operators.dedup import ensure_parallelism
+
+    return ensure_parallelism(_abc(spark, sf_dir), heavy=True).selectExpr(
         "doc_id",
         "a",
         "b",
@@ -1286,7 +1290,9 @@ def _q_densify_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from geo_spark.operators.dedup import ensure_parallelism
 
-    pts = ensure_parallelism(_derived_points(spark, sf_dir))
+    # metric densify emits ~50 vertices/row through the haversine kernel —
+    # real per-row work, so spread the single-file scan
+    pts = ensure_parallelism(_derived_points(spark, sf_dir), heavy=True)
     track = pts.select(
         "doc_id",
         F.expr(
@@ -2166,6 +2172,60 @@ def _q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # baseline-JPEG codec end-to-end (kernels/jpeg.py — the multimodal
+    # seam's second REAL codec): per doc a 16×16 grayscale image of four
+    # constant 8×8 blocks (values 128 + 2·((doc_id+b) % 50)) is encoded at
+    # quality 50 and decoded back. Constant blocks have only a DC
+    # coefficient = 8·(v−128), an exact multiple of the Annex-K DC quant
+    # step (16), so the lossy round-trip is EXACT and DuckDB recomputes the
+    # decoded mean in closed form — a hash-gated oracle over a real JPEG
+    # encode→Huffman→decode path. Media bytes never leave the executor.
+    from geo_spark.operators.dedup import ensure_parallelism
+
+    docs = ensure_parallelism(_docs(spark, sf_dir), heavy=True).select("doc_id")
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        from geo_spark.kernels.jpeg import decode_jpeg, encode_jpeg
+
+        for pdf in batches:
+            ids, ws, hs, means = [], [], [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                img = np.zeros((16, 16), dtype=np.uint8)
+                for b in range(4):
+                    v = 128 + 2 * ((d + b) % 50)
+                    by, bx = divmod(b, 2)
+                    img[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8] = v
+                dec = decode_jpeg(encode_jpeg(img, quality=50))
+                ids.append(d)
+                ws.append(dec.shape[1])
+                hs.append(dec.shape[0])
+                means.append(float(dec.mean()))
+            yield pd.DataFrame(
+                {"doc_id": ids, "width": ws, "height": hs, "mean_px": means}
+            )
+
+    out = docs.mapInPandas(run, "doc_id long, width int, height int, mean_px double")
+    return out.select(
+        "doc_id", "width", "height", F.round("mean_px", 6).alias("mean_px")
+    )
+
+
+_JPEG_ORACLE = """
+    SELECT doc_id,
+           CAST(16 AS INT) AS width,
+           CAST(16 AS INT) AS height,
+           ROUND((512 + 2.0 * (doc_id % 50 + (doc_id + 1) % 50
+                               + (doc_id + 2) % 50 + (doc_id + 3) % 50)) / 4.0,
+                 6) AS mean_px
+    FROM documents
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_contains_grid10": _q_pip_grid,
@@ -2230,6 +2290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geodesic_roundtrip": _q_geodesic_roundtrip,
         "streaming_sessionize": _q_streaming_sessionize,
         "streaming_dedup_distinct": _q_streaming_dedup,
+        "jpeg_decode_stats": _q_jpeg_decode_stats,
         # rows-only (no SQL-expressible oracle: ellipsoidal inverse needs a
         # geodesic solver, the raw voronoi rings need polygon arithmetic):
         "voronoi_hotspot": _q_voronoi_hotspot,
@@ -2728,6 +2789,7 @@ def oracle_sql() -> dict[str, str]:
         "voronoi_probe_assign": _VORONOI_ORACLE,
         "lsh_cosine_topk": _lsh_cosine_oracle_sql(),
         "geodesic_roundtrip": _geodesic_roundtrip_oracle(),
+        "jpeg_decode_stats": _JPEG_ORACLE,
         "streaming_dedup_distinct": """
             SELECT DISTINCT md5(text) AS text_hash FROM documents
         """,

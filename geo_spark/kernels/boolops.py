@@ -185,7 +185,13 @@ def boolean_op(exterior_a, interiors_a, exterior_b, interiors_b, op: str):
     for s in sub_b:
         consider(s, False)
 
-    return _assemble(selected)
+    # xor/difference can trace a region that touches itself at a shared
+    # vertex as ONE pinched ring; split it into simple rings (no-op for
+    # already-simple results — hypothesis round 5 caught a self-touching
+    # xor exterior failing validate_polygon)
+    from geo_spark.kernels.repair import _split_pinched
+
+    return _split_pinched(_assemble(selected))
 
 
 def _assemble(edges):

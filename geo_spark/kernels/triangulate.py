@@ -124,21 +124,37 @@ def delaunay(points: np.ndarray) -> list[tuple[int, int, int]]:
             vax = np.resize(vax, cap)
             vay = np.resize(vay, cap)
         tri[m] = (a, b, c)
-        pa, pb, pc = all_pts[a], all_pts[b], all_pts[c]
-        cc = circumcenter(pa, pb, pc)
+        ax, ay = all_pts[a]
+        bx, by = all_pts[b]
+        qx, qy = all_pts[c]
         # anchor r² and the |p-a| cancellation term at a REAL vertex when
         # one exists: a super anchor puts |p-a| at frame scale and inflates
         # the band to ~scale for every super-adjacent triangle
         v0 = a if a < n else (b if b < n else c)
-        p0 = all_pts[v0]
-        if cc is None:
+        p0x, p0y = all_pts[v0]
+        # fused circumcenter + error bound (one scalar pass — this push
+        # runs ~6n times and the helper pair recomputed d and the lifts)
+        d = 2.0 * (ax * (by - qy) + bx * (qy - ay) + qx * (ay - by))
+        if d == 0.0:
             ccx[m], ccy[m], rr2[m], dcc[m] = np.inf, np.inf, np.inf, np.inf
         else:
-            ccx[m], ccy[m] = cc
-            dx, dy = p0[0] - cc[0], p0[1] - cc[1]
+            a2 = ax * ax + ay * ay
+            b2 = bx * bx + by * by
+            c2 = qx * qx + qy * qy
+            ux = (a2 * (by - qy) + b2 * (qy - ay) + c2 * (ay - by)) / d
+            uy = (a2 * (qx - bx) + b2 * (ax - qx) + c2 * (bx - ax)) / d
+            ccx[m], ccy[m] = ux, uy
+            dx, dy = p0x - ux, p0y - uy
             rr2[m] = dx * dx + dy * dy
-            dcc[m] = _circumcenter_err(pa, pb, pc)
-        vax[m], vay[m] = p0[0], p0[1]
+            m2 = a2 if a2 >= b2 else b2
+            if c2 > m2:
+                m2 = c2
+            lsum = (
+                abs(by - qy) + abs(qy - ay) + abs(ay - by)
+                + abs(bx - qx) + abs(qx - ax) + abs(ax - bx)
+            )
+            dcc[m] = _EPS * m2 * lsum / abs(d)
+        vax[m], vay[m] = p0x, p0y
         m += 1
 
     _push(s0, s1, s2)
@@ -163,12 +179,14 @@ def delaunay(points: np.ndarray) -> list[tuple[int, int, int]]:
         # super-adjacent circles once the frame grew to 1e12×span.)
         pax = vax[:m] - px
         pay = vay[:m] - py
-        pa_dist = np.sqrt(pax * pax + pay * pay)
-        tol = 32.0 * _EPS * scale + 8.0 * dcc[:m] * pa_dist
-        inside = diff < -tol
-        # complement form: inf·0 → nan tol (duplicate point on a degenerate
-        # triangle) and inf tol both classify as border → exact test
-        border = ~inside & ~(diff > tol)
+        absdiff = np.abs(diff)
+        rem = absdiff - 32.0 * _EPS * scale
+        b2 = (64.0 * dcc[:m] * dcc[:m]) * (pax * pax + pay * pay)
+        # sqrt-free band check: outside-the-band iff rem > 0 AND rem² > B².
+        # The complement keeps nan (inf-inf on degenerate triangles) and inf
+        # bounds in the border class → exact test, as before.
+        border = ~((rem > 0.0) & (rem * rem > b2))
+        inside = (diff < 0.0) & ~border
         bad_idx = list(np.flatnonzero(inside))
         border_idx = np.flatnonzero(border)
         for j in border_idx:
@@ -237,20 +255,34 @@ def _delaunay_small(pts: np.ndarray) -> list[tuple[int, int, int]]:
     ]
 
     def mk(a, b, c):
-        pa, pb, pc = coords[a], coords[b], coords[c]
-        cc = circumcenter(pa, pb, pc)
+        # fused circumcenter + error bound (one pass; the helper pair would
+        # recompute d and the lifts — this mk is the small-n hot path)
+        ax, ay = coords[a]
+        bx, by = coords[b]
+        cx, cy = coords[c]
         # real-vertex anchor — see the vectorized _push note
         v0 = a if a < n else (b if b < n else c)
-        p0 = coords[v0]
-        if cc is None:
+        p0x, p0y = coords[v0]
+        d = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+        if d == 0.0:
             inf = float("inf")
-            return (a, b, c, inf, inf, inf, inf, p0[0], p0[1])
-        dx = p0[0] - cc[0]
-        dy = p0[1] - cc[1]
-        return (
-            a, b, c, cc[0], cc[1], dx * dx + dy * dy,
-            _circumcenter_err(pa, pb, pc), p0[0], p0[1],
+            return (a, b, c, inf, inf, inf, inf, p0x, p0y)
+        a2 = ax * ax + ay * ay
+        b2 = bx * bx + by * by
+        c2 = cx * cx + cy * cy
+        ux = (a2 * (by - cy) + b2 * (cy - ay) + c2 * (ay - by)) / d
+        uy = (a2 * (cx - bx) + b2 * (ax - cx) + c2 * (bx - ax)) / d
+        dx = p0x - ux
+        dy = p0y - uy
+        m2 = a2 if a2 >= b2 else b2
+        if c2 > m2:
+            m2 = c2
+        lsum = (
+            abs(by - cy) + abs(cy - ay) + abs(ay - by)
+            + abs(bx - cx) + abs(cx - ax) + abs(ax - bx)
         )
+        err = _EPS * m2 * lsum / abs(d)
+        return (a, b, c, ux, uy, dx * dx + dy * dy, err, p0x, p0y)
 
     tris = [mk(n, n + 1, n + 2)]
     for i in range(n):
@@ -262,19 +294,23 @@ def _delaunay_small(pts: np.ndarray) -> list[tuple[int, int, int]]:
             dx = t[3] - px
             dy = t[4] - py
             d2 = dx * dx + dy * dy
-            diff = d2 - t[5]
+            r2 = t[5]
+            diff = d2 - r2
             # per-triangle band: 2·Δcc·|p-a| cancellation bound + rounding
-            # (see the vectorized-path note); nan/inf tol → exact test
+            # (vectorized-path note), sqrt-free: compare (|diff|-A)² vs
+            # (8·dcc)²·|p-a|². inf r² or inf dcc → maybe (exact test)
+            absdiff = diff if diff >= 0.0 else -diff
+            A = 32.0 * _EPS * (d2 + r2)
+            if absdiff <= A:
+                maybe.append(t)
+                continue
             pax = t[7] - px
             pay = t[8] - py
-            tol = (
-                32.0 * _EPS * (d2 + t[5])
-                + 8.0 * t[6] * (pax * pax + pay * pay) ** 0.5
-            )
-            if diff < -tol:
-                bad.append(t)
-            elif not diff > tol:
+            rem = absdiff - A
+            if rem * rem <= 64.0 * t[6] * t[6] * (pax * pax + pay * pay):
                 maybe.append(t)
+            elif diff < 0.0:
+                bad.append(t)
             else:
                 rest.append(t)
         exact_in = []

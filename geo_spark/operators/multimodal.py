@@ -8,6 +8,9 @@ is real and tested. Decode paths:
   (kernels/png.py — zlib inflate, all five scanline filters, gray/RGB/
   palette/alpha, 8/16-bit) with deterministic image-statistics features;
   golden-tested against hand-built and round-tripped images.
+- ``decode='jpeg'`` — a REAL baseline-JPEG decoder (kernels/jpeg.py —
+  Huffman + dequant + IDCT, 4:4:4/4:2:2/4:2:0, restart markers), same
+  feature layout; round-trip and third-party-decode tested.
 - ``decode='fake'`` — content-hash-seeded pseudo-features, for exercising
   the distributed plumbing with arbitrary bytes.
 - ``decode='stub'`` — raises NotImplementedError: the wiring point for
@@ -57,15 +60,19 @@ def extract_media_features(
       zlib inflate + scanline unfilter), features = deterministic image
       statistics (dims, channel means/stds, 16-bin histogram). Non-PNG
       payloads get null features.
+    - ``'jpeg'`` — REAL decode via the stdlib baseline-JPEG codec
+      (kernels/jpeg.py), same feature layout; non-JPEG payloads get null
+      features.
     - ``'fake'`` — content-hash-seeded pseudo-embedding (plumbing tests).
-    - ``'stub'`` — raises: the wiring point for PIL/ffmpeg-class codecs.
+    - ``'stub'`` — raises: the wiring point for ffmpeg/librosa-class codecs.
     """
-    if decode not in ("fake", "stub", "png"):
+    if decode not in ("fake", "stub", "png", "jpeg"):
         raise ValueError(f"unknown decode mode: {decode}")
 
     schema = f"{id_col} string, content_sha256 string, n_bytes long, features array<double>"
 
     def run(batches):
+        from geo_spark.kernels.jpeg import decode_jpeg
         from geo_spark.kernels.png import decode_png, png_features
 
         for pdf in batches:
@@ -90,6 +97,14 @@ def extract_media_features(
                 if decode == "png":
                     try:
                         feats = png_features(decode_png(raw), dim).tolist()
+                    except Exception:
+                        feats = None
+                elif decode == "jpeg":
+                    try:
+                        img = decode_jpeg(raw)
+                        if img.ndim == 2:  # grayscale → (h, w, 1)
+                            img = img[:, :, None]
+                        feats = png_features(img, dim).tolist()
                     except Exception:
                         feats = None
                 else:

@@ -156,3 +156,81 @@ def test_png_feature_extraction_spark(spark):
         assert np.allclose(got[f"u{i}"], exp, atol=0), f"u{i}"
         assert got[f"u{i}"][0] == 5 + i and got[f"u{i}"][1] == 8 + i
     assert got["bad"] is None
+
+
+def test_jpeg_dc_exact_roundtrip():
+    # constant 8x8 blocks whose DC is an exact multiple of the Annex-K DC
+    # quant step survive the lossy pipeline EXACTLY (the jpeg_decode_stats
+    # oracle's determinism contract)
+    import numpy as np
+
+    from geo_spark.kernels.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.zeros((16, 24), dtype=np.uint8)
+    for by in range(2):
+        for bx in range(3):
+            img[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8] = 128 + 14 * (by * 3 + bx)
+    assert np.array_equal(decode_jpeg(encode_jpeg(img, quality=50)), img)
+
+
+def test_jpeg_lossy_roundtrip_bounds():
+    import numpy as np
+
+    from geo_spark.kernels.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(3)
+    # smooth gradient: high quality keeps error small away from block edges
+    yy, xx = np.mgrid[0:40, 0:56]
+    img = np.zeros((40, 56, 3), dtype=np.uint8)
+    img[:, :, 0] = (xx * 2).astype(np.uint8)
+    img[:, :, 1] = (yy * 3).astype(np.uint8)
+    img[:, :, 2] = 64
+    dec = decode_jpeg(encode_jpeg(img, quality=95))
+    assert dec.shape == img.shape
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.mean() < 2.0 and err.max() <= 24, (err.mean(), err.max())
+    # odd sizes pad and crop back
+    odd = rng.integers(0, 256, (17, 19)).astype(np.uint8)
+    assert decode_jpeg(encode_jpeg(odd, quality=90)).shape == (17, 19)
+
+
+def test_jpeg_decodes_third_party_files():
+    # files produced by other encoders (4:2:0 chroma subsampling etc.)
+    import os
+
+    from geo_spark.kernels.jpeg import decode_jpeg
+
+    candidates = [
+        "/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11/"
+        "test/test_email/data/python.jpg",
+    ]
+    found = [p for p in candidates if os.path.exists(p)]
+    if not found:
+        import pytest
+
+        pytest.skip("no third-party sample JPEGs on this host")
+    for p in found:
+        img = decode_jpeg(open(p, "rb").read())
+        assert img.ndim in (2, 3) and img.size > 0
+
+
+def test_media_features_jpeg_mode(spark):
+    import numpy as np
+
+    from geo_spark.kernels.jpeg import encode_jpeg
+    from geo_spark.operators.multimodal import extract_media_features
+
+    imgs = []
+    for i in range(4):
+        img = np.full((16, 16), 128 + 2 * i, dtype=np.uint8)
+        imgs.append((f"u{i}", bytearray(encode_jpeg(img, quality=50))))
+    imgs.append(("bad", bytearray(b"not a jpeg")))
+    df = spark.createDataFrame(imgs, "url string, html binary")
+    out = {r["url"]: r for r in extract_media_features(df, decode="jpeg").collect()}
+    assert out["bad"]["features"] is None
+    for i in range(4):
+        feats = out[f"u{i}"]["features"]
+        assert feats is not None and len(feats) == 32
+        # png_features layout: [w, h, nch, mean/255, ...] — constant image
+        assert feats[0] == 16.0 and feats[1] == 16.0 and feats[2] == 1.0
+        assert abs(feats[3] - (128 + 2 * i) / 255.0) < 1e-12

@@ -57,6 +57,9 @@ def main():
 
     spark = get_spark(app_name="oracle_check", master="local[8]", shuffle_partitions=8)
 
+    out_path = os.environ.get("ORACLE_CHECK_OUT")
+    results: dict = {}
+
     con = duckdb.connect()
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
@@ -74,6 +77,11 @@ def main():
         t_spark = time.time() - t0
         if name not in oracles:
             print(f"{name:24s} rows={len(sdf):7d}  (no oracle — rows-only) {t_spark:5.1f}s")
+            results[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": len(sdf), "oracle_rows": None,
+                "err": None, "rows_only": True,
+            }
             continue
         t0 = time.time()
         odf = con.execute(oracles[name]).fetchdf()
@@ -101,12 +109,26 @@ def main():
                                                rtol=0, atol=0, equal_nan=True)).sum()
                         if neq:
                             problems.append(f"  col {c}: {neq} rows differ")
+        results[name] = {
+            "rows_match": len(s) == len(o),
+            "schema_match": list(s.columns) == list(o.columns)
+            and not any(p.startswith("dtypes") for p in problems),
+            "hash_match": not problems,
+            "spark_rows": len(s), "oracle_rows": len(o),
+            "err": "; ".join(problems) or None,
+        }
         status = "OK " if not problems else "FAIL"
         print(f"{name:24s} {status} rows={len(s):7d} spark={t_spark:5.1f}s duck={t_duck:5.1f}s")
         for p in problems:
             print(f"    {p}")
         if problems:
             failures.append(name)
+    if out_path:
+        import json
+
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=1)
+        print(f"wrote {out_path} ({len(results)} queries)")
     print()
     print("FAILURES:", failures if failures else "none")
     spark.stop()
