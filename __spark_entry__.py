@@ -2172,6 +2172,83 @@ def _q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_polygonize_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TABLE-scale polygonize (operators/polygonize_dist.py — dangle peel →
+    # per-vertex successors → pointer-doubling cycle labels → per-face
+    # walk → hole assignment), the distributed twin of the per-row
+    # polygonize_grid kernel query: a 24×18 global mosaic + dangles + an
+    # island component sharded across partitions assembles into 24·18 unit
+    # faces, the island shell, and the island's host shell with one hole.
+    # Each face is identified by its bbox min corner — fully hash-oracled.
+    from geo_spark.operators.polygonize_dist import polygonize_distributed
+
+    C, R = 24, 18
+    verts = spark.sql(
+        f"""
+        SELECT CAST(i AS DOUBLE) x1, CAST(j AS DOUBLE) y1,
+               CAST(i AS DOUBLE) x2, CAST(j + 1 AS DOUBLE) y2
+        FROM (SELECT explode(sequence(0, {C})) AS i),
+             (SELECT explode(sequence(0, {R - 1})) AS j)
+        """
+    )
+    horiz = spark.sql(
+        f"""
+        SELECT CAST(i AS DOUBLE) x1, CAST(j AS DOUBLE) y1,
+               CAST(i + 1 AS DOUBLE) x2, CAST(j AS DOUBLE) y2
+        FROM (SELECT explode(sequence(0, {C - 1})) AS i),
+             (SELECT explode(sequence(0, {R})) AS j)
+        """
+    )
+    x0 = C + 10
+    extra = spark.createDataFrame(
+        [
+            # dangling chain
+            (float(C + 2), 0.0, float(C + 3), 1.0),
+            (float(C + 3), 1.0, float(C + 4), 1.0),
+            # island host square [x0, x0+6]²
+            (float(x0), 0.0, float(x0 + 6), 0.0),
+            (float(x0 + 6), 0.0, float(x0 + 6), 6.0),
+            (float(x0 + 6), 6.0, float(x0), 6.0),
+            (float(x0), 6.0, float(x0), 0.0),
+            # island [x0+2, x0+4]²+2
+            (float(x0 + 2), 2.0, float(x0 + 4), 2.0),
+            (float(x0 + 4), 2.0, float(x0 + 4), 4.0),
+            (float(x0 + 4), 4.0, float(x0 + 2), 4.0),
+            (float(x0 + 2), 4.0, float(x0 + 2), 2.0),
+        ],
+        "x1 double, y1 double, x2 double, y2 double",
+    )
+    segs = verts.unionAll(horiz).unionAll(extra)
+    # longest boundary cycle here is the mosaic outer contour (2·(C+R)=84
+    # half-edges): the 256 hint halves the pointer-doubling rounds, and an
+    # undershot hint fails loudly in the face walk rather than mislabeling.
+    # parallelism=4: ~2.4k segments across ~20 sequential micro-stages —
+    # wide fan-out only adds per-task overhead at this input size
+    faces = polygonize_distributed(segs, max_ring_len=256, parallelism=4)
+    xs = F.transform("exterior", lambda p: p["x"])
+    ys = F.transform("exterior", lambda p: p["y"])
+    return faces.select(
+        F.array_min(xs).cast("int").alias("xmin"),
+        F.array_min(ys).cast("int").alias("ymin"),
+        F.round("area", 9).alias("area"),
+        F.size("interiors").alias("n_holes"),
+    )
+
+
+def _polygonize_dist_oracle() -> str:
+    c, r = 24, 18
+    x0 = c + 10
+    return f"""
+        SELECT CAST(i AS INT) AS xmin, CAST(j AS INT) AS ymin,
+               CAST(1.0 AS DOUBLE) AS area, 0 AS n_holes
+        FROM range(0, {c}) t1(i), range(0, {r}) t2(j)
+        UNION ALL
+        SELECT {x0}, 0, CAST(36.0 AS DOUBLE), 1
+        UNION ALL
+        SELECT {x0 + 2}, 2, CAST(4.0 AS DOUBLE), 0
+    """
+
+
 def _q_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # baseline-JPEG codec end-to-end (kernels/jpeg.py — the multimodal
     # seam's second REAL codec): per doc a 16×16 grayscale image of four
@@ -2291,6 +2368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessionize": _q_streaming_sessionize,
         "streaming_dedup_distinct": _q_streaming_dedup,
         "jpeg_decode_stats": _q_jpeg_decode_stats,
+        "polygonize_faces_distributed": _q_polygonize_distributed,
         # rows-only (no SQL-expressible oracle: ellipsoidal inverse needs a
         # geodesic solver, the raw voronoi rings need polygon arithmetic):
         "voronoi_hotspot": _q_voronoi_hotspot,
@@ -2790,6 +2868,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_cosine_topk": _lsh_cosine_oracle_sql(),
         "geodesic_roundtrip": _geodesic_roundtrip_oracle(),
         "jpeg_decode_stats": _JPEG_ORACLE,
+        "polygonize_faces_distributed": _polygonize_dist_oracle(),
         "streaming_dedup_distinct": """
             SELECT DISTINCT md5(text) AS text_hash FROM documents
         """,
