@@ -2172,6 +2172,69 @@ def _q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF coarse-quantizer ANN (operators/ann.ivf_topk — the faiss
+    # IndexIVF shape; the brief's "IVF or LSH" scale path, next to the
+    # existing LSH variant). Deterministic cluster construction makes the
+    # IVF answer EXACTLY the brute-force top-k, so DuckDB can hash-gate an
+    # approximate index: vector v for doc_id has a unit spike at position
+    # 8·(doc_id%8)+1 plus 0.05·SIN noise — cell assignment provably equals
+    # doc_id%8 (spike dot ≥ 0.95 vs ≤ 0.05 for any other centroid) and
+    # in-cluster cosines (≥ ~0.8) dominate cross-cluster ones (≤ ~0.3),
+    # so every true top-5 lives in the probed cell.
+    import numpy as np
+
+    from geo_spark.operators.ann import ivf_topk
+    from geo_spark.operators.dedup import ensure_parallelism
+
+    dim, K = 64, 8
+    cents = np.zeros((K, dim))
+    for j in range(K):
+        cents[j, 8 * j] = 1.0
+    docs = ensure_parallelism(_docs(spark, sf_dir), heavy=True)
+    vec = F.expr(
+        "transform(sequence(1, 64), i -> "
+        "CAST(CASE WHEN i = 8 * CAST(doc_id % 8 AS INT) + 1 THEN 1.0 ELSE 0.0 END "
+        "+ 0.05 * SIN(CAST(doc_id * 64 + i AS DOUBLE)) AS DOUBLE))"
+    )
+    corpus = docs.select(F.col("doc_id").alias("vec_id"), vec.alias("embedding"))
+    queries = corpus.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = ivf_topk(corpus, queries, cents, k=5, nprobe=1)
+    return out.select("qid", "vec_id", F.round("cosine", 6).alias("cos_r"), "rank")
+
+
+_IVF_ORACLE = """
+    WITH base AS (
+      SELECT doc_id AS vec_id,
+             list_transform(range(1, 65), i ->
+               CASE WHEN i = 8 * (doc_id % 8) + 1 THEN 1.0 ELSE 0.0 END
+               + 0.05 * SIN(CAST(doc_id * 64 + i AS DOUBLE))) AS v
+      FROM documents
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv FROM base WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT q.qid, b.vec_id,
+             list_reduce(list_transform(range(1, 65), i -> qv[i] * v[i]),
+                         (x, y) -> x + y)
+             / (SQRT(list_reduce(list_transform(range(1, 65), i -> qv[i] * qv[i]),
+                                 (x, y) -> x + y))
+                * SQRT(list_reduce(list_transform(range(1, 65), i -> v[i] * v[i]),
+                                   (x, y) -> x + y))) AS cosine
+      FROM q, base b
+    ),
+    ranked AS (
+      SELECT qid, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id)
+               AS rank
+      FROM scored
+    )
+    SELECT qid, vec_id, ROUND(cosine, 6) AS cos_r, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+"""
+
+
 def _q_polygonize_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TABLE-scale polygonize (operators/polygonize_dist.py — dangle peel →
     # per-vertex successors → pointer-doubling cycle labels → per-face
@@ -2369,6 +2432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_distinct": _q_streaming_dedup,
         "jpeg_decode_stats": _q_jpeg_decode_stats,
         "polygonize_faces_distributed": _q_polygonize_distributed,
+        "ivf_cosine_topk": _q_ivf_topk,
         # rows-only (no SQL-expressible oracle: ellipsoidal inverse needs a
         # geodesic solver, the raw voronoi rings need polygon arithmetic):
         "voronoi_hotspot": _q_voronoi_hotspot,
@@ -2869,6 +2933,7 @@ def oracle_sql() -> dict[str, str]:
         "geodesic_roundtrip": _geodesic_roundtrip_oracle(),
         "jpeg_decode_stats": _JPEG_ORACLE,
         "polygonize_faces_distributed": _polygonize_dist_oracle(),
+        "ivf_cosine_topk": _IVF_ORACLE,
         "streaming_dedup_distinct": """
             SELECT DISTINCT md5(text) AS text_hash FROM documents
         """,

@@ -203,3 +203,61 @@ def cosine_near_pairs(
         .filter(F.col("cosine") >= threshold)
         .drop("_vec_a", "_vec_b")
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids,
+    k: int = 10,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+) -> DataFrame:
+    """IVF (inverted-file) top-k — the coarse-quantizer ANN scale path.
+
+    ``centroids``: (n_cells, dim) array, the pretrained/known coarse
+    quantizer (the faiss ``IndexIVF`` shape: assignment by max inner
+    product). Corpus vectors land in their top-1 cell (one vectorized
+    numpy pUDF, NO shuffle); each query probes its ``nprobe`` nearest
+    cells; candidates meet through a hash-partitioned equi-join on the
+    cell id — at 100 TB this replaces the brute-force full scan with
+    |corpus|/n_cells-sized buckets — and are exactly rescored by cosine
+    with a per-query top-k window. Returns (qid, vec_id, cosine, rank).
+
+    Recall is the standard IVF trade (quantizer + nprobe); the exact
+    twin for small query sets is ``cosine_topk``.
+    """
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probes(vec: pd.Series) -> pd.Series:
+        out = []
+        for v in vec:
+            d = C @ np.asarray(v, dtype=np.float64)
+            idx = np.argsort(-d, kind="stable")[:nprobe]
+            out.append([int(x) for x in idx])
+        return pd.Series(out)
+
+    cor = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("_cvec")
+    ).withColumn("_cell", probes("_cvec")[0])
+    q = (
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
+        .withColumn("_cell", F.explode(probes("_qvec")))
+    )
+    cand = cor.join(q, "_cell")
+    denom = _norm(F.col("_qvec")) * _norm(F.col("_cvec"))
+    cos = F.when(denom == 0, F.lit(0.0)).otherwise(
+        _dot(F.col("_qvec"), F.col("_cvec")) / denom
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        cand.withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
