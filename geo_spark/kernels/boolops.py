@@ -97,12 +97,15 @@ def _split_all(edges_a, edges_b):
         out = []
         for (a, b), cs in zip(edges, cuts):
             pts = [a, b] + [c for c in cs if c != a and c != b]
-            # order along the edge by parameter
+            # order along the edge by the dot-product parameter — BOTH
+            # coordinates. A dominant-axis-only key ties when two crossing
+            # points share that coordinate (two near-coincident edges of a
+            # sliver crossing a long edge: x identical, y apart by 1e-11),
+            # leaving their order arbitrary and the sub-edge chain reversed
+            # — the downstream assembly then dead-ends and the overlay
+            # collapsed to empty (hypothesis-found, round 5).
             dx, dy = b[0] - a[0], b[1] - a[1]
-            if abs(dx) >= abs(dy):
-                pts.sort(key=lambda p: (p[0] - a[0]) / dx if dx else 0.0)
-            else:
-                pts.sort(key=lambda p: (p[1] - a[1]) / dy)
+            pts.sort(key=lambda p: (p[0] - a[0]) * dx + (p[1] - a[1]) * dy)
             for k in range(len(pts) - 1):
                 if pts[k] != pts[k + 1]:
                     out.append((pts[k], pts[k + 1]))
@@ -118,13 +121,86 @@ def _midpoint_state(sub, other_ext, other_holes):
     return int(polygon_position([mx], [my], other_ext, other_holes)[0])
 
 
+def _poly_area_of(ext, holes) -> float:
+    a = abs(ring_signed_area(np.asarray(ext, dtype=np.float64)))
+    for h in holes:
+        a -= abs(ring_signed_area(np.asarray(h, dtype=np.float64)))
+    return a
+
+
+def _snap_ring(ring, scale: float) -> np.ndarray:
+    r = np.round(np.asarray(ring, dtype=np.float64) / scale) * scale
+    # drop consecutive duplicates introduced by snapping, keep closure
+    if len(r) > 1:
+        keep = np.ones(len(r), dtype=bool)
+        keep[1:] = (r[1:] != r[:-1]).any(axis=1)
+        r = r[keep]
+        if len(r) > 1 and not (r[0] == r[-1]).all():
+            r = np.vstack([r, r[:1]])
+    return r
+
+
 def boolean_op(exterior_a, interiors_a, exterior_b, interiors_b, op: str):
     """Overlay of polygon A and polygon B; returns list of (exterior, holes).
 
     ``op``: 'union' | 'intersection' | 'difference' | 'xor'.
+
+    Robustness: the float-constructed overlay can collapse when an operand
+    is an extreme sliver (hypothesis-found: a width-1e-3 × length-700
+    triangle unioned with a large one returned EMPTY — the same regime
+    where JTS's floating overlay throws TopologyException). A cheap area
+    invariant (union ≥ each operand, any result ≤ |A|+|B|) detects the
+    collapse and retries once on inputs snapped to a 2⁻⁴⁰-relative grid —
+    OverlayNG's snap-rounding fallback pattern; the snapped answer differs
+    from exact by at most grid × perimeter.
     """
     if op not in _OPS:
         raise ValueError(f"unknown op: {op}")
+    res = _boolean_op_float(exterior_a, interiors_a, exterior_b, interiors_b, op)
+    area_a = _poly_area_of(exterior_a, interiors_a)
+    area_b = _poly_area_of(exterior_b, interiors_b)
+    out_area = overlay_area(res)
+    scale_ar = max(area_a, area_b, 1e-300)
+    tol = 1e-9 * scale_ar
+    bad = out_area > area_a + area_b + tol
+    if op == "union":
+        bad = bad or out_area < max(area_a, area_b) - tol
+    elif op == "intersection":
+        bad = bad or out_area > min(area_a, area_b) + tol
+    elif op == "difference":
+        bad = bad or out_area > area_a + tol
+    if not bad:
+        return res
+    coords = np.abs(
+        np.concatenate(
+            [np.asarray(exterior_a, dtype=np.float64).ravel(),
+             np.asarray(exterior_b, dtype=np.float64).ravel()]
+        )
+    )
+    span = float(coords.max()) if len(coords) else 1.0
+    grid = 2.0 ** (int(np.floor(np.log2(max(span, 1e-300)))) - 40)
+    sa = _snap_ring(exterior_a, grid)
+    sb = _snap_ring(exterior_b, grid)
+    ha = [_snap_ring(h, grid) for h in interiors_a]
+    hb = [_snap_ring(h, grid) for h in interiors_b]
+    # snapped operands can collapse to nothing — apply the empty-operand
+    # algebra directly
+    a_dead = len(sa) < 4 or ring_signed_area(sa) == 0.0
+    b_dead = len(sb) < 4 or ring_signed_area(sb) == 0.0
+    if a_dead or b_dead:
+        a_poly = [] if a_dead else [(sa, [h for h in ha if len(h) >= 4])]
+        b_poly = [] if b_dead else [(sb, [h for h in hb if len(h) >= 4])]
+        if op in ("union", "xor"):
+            return a_poly + b_poly  # at most one side survives here
+        if op == "intersection":
+            return []
+        return a_poly  # difference: b collapsed → a; a collapsed → []
+    return _boolean_op_float(
+        sa, [h for h in ha if len(h) >= 4], sb, [h for h in hb if len(h) >= 4], op
+    )
+
+
+def _boolean_op_float(exterior_a, interiors_a, exterior_b, interiors_b, op: str):
     fop = _OPS[op]
     rings_a = _normalized_rings(exterior_a, interiors_a)
     rings_b = _normalized_rings(exterior_b, interiors_b)

@@ -50,13 +50,7 @@ def _star_ring(raw: list[tuple[float, float]]) -> np.ndarray | None:
         return None
     pts = pts[order]
     ring = np.vstack([pts, pts[:1]])
-    # reject near-degenerate slivers: a float-constructed overlay cannot
-    # hold a 1e-7 relative area identity when the operand's own
-    # conditioning (area/span²) is ~1e-7 — the same regime where JTS's
-    # floating overlay throws TopologyException and falls back to snap
-    # rounding. Well-conditioned shapes are the fast-path contract.
-    span = max(np.ptp(pts[:, 0]), np.ptp(pts[:, 1]))
-    if abs(_ring_area(ring)) < 1e-4 * span * span:
+    if abs(_ring_area(ring)) < 1e-12:
         return None
     return ring
 
@@ -86,10 +80,14 @@ def test_overlay_area_algebra_and_validity(raw_a, raw_b):
         for op in ("union", "intersection", "difference", "xor")
     }
     areas = {op: overlay_area(r) for op, r in res.items()}
+    # 1e-6 relative: sliver operands (area/span² down to ~1e-9 — the grid
+    # generator produces them freely) are in scope since the round-5
+    # split-ordering fix + snap fallback; constructed-intersection rounding
+    # then bounds the identity at ~eps·span²/area of conditioning
     scale = max(area_a, area_b, 1e-6)
-    assert abs(areas["union"] + areas["intersection"] - area_a - area_b) < 1e-7 * scale
-    assert abs(areas["difference"] - (area_a - areas["intersection"])) < 1e-7 * scale
-    assert abs(areas["xor"] - (areas["union"] - areas["intersection"])) < 1e-7 * scale
+    assert abs(areas["union"] + areas["intersection"] - area_a - area_b) < 1e-6 * scale
+    assert abs(areas["difference"] - (area_a - areas["intersection"])) < 1e-6 * scale
+    assert abs(areas["xor"] - (areas["union"] - areas["intersection"])) < 1e-6 * scale
     for op, r in res.items():
         for ext, holes in r:
             assert validate_polygon(ext, holes) == [], op
