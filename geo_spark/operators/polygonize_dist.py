@@ -59,6 +59,47 @@ def _canon(df: DataFrame) -> DataFrame:
     ).dropDuplicates(["ax", "ay", "bx", "by"])
 
 
+def _peel_dangles_driver(seg: DataFrame) -> DataFrame:
+    """Small-side dangle peel: collect, cascade-peel in one Python pass,
+    parallelize back (same adaptive pattern as the cycle labeling — the
+    distributed fixpoint costs one groupBy + two anti-joins + a checkpoint
+    PER CHAIN LINK, all driver-blocking)."""
+    rows = [(r["ax"], r["ay"], r["bx"], r["by"]) for r in seg.collect()]
+    segs = set(rows)
+    deg: dict = {}
+    for ax, ay, bx, by in segs:
+        deg[(ax, ay)] = deg.get((ax, ay), 0) + 1
+        deg[(bx, by)] = deg.get((bx, by), 0) + 1
+    frontier = [v for v, d in deg.items() if d == 1]
+    incident: dict = {}
+    for s in segs:
+        incident.setdefault((s[0], s[1]), []).append(s)
+        incident.setdefault((s[2], s[3]), []).append(s)
+    dead = set()
+    while frontier:
+        v = frontier.pop()
+        if deg.get(v, 0) != 1:
+            continue
+        for s in incident[v]:
+            if s in dead:
+                continue
+            dead.add(s)
+            for u in ((s[0], s[1]), (s[2], s[3])):
+                deg[u] -= 1
+                if deg[u] == 1:
+                    frontier.append(u)
+    alive = [s for s in segs if s not in dead]
+    spark = seg.sparkSession
+    if not alive:
+        return spark.createDataFrame(
+            [], "ax double, ay double, bx double, by double"
+        )
+    npart = max(1, min(spark.sparkContext.defaultParallelism, len(alive) // 500 + 1))
+    return spark.createDataFrame(
+        alive, "ax double, ay double, bx double, by double"
+    ).repartition(npart)
+
+
 def _peel_dangles(seg: DataFrame, max_rounds: int = 64) -> DataFrame:
     """Iteratively remove segments with a degree-1 endpoint (fixpoint).
 
@@ -305,10 +346,14 @@ def polygonize_distributed(
     spark = segments.sparkSession
     if parallelism is None:
         parallelism = spark.sparkContext.defaultParallelism
-    seg = _canon(segments).repartition(parallelism)
+    seg = _canon(segments).repartition(parallelism).localCheckpoint(eager=True)
+    n_seg = seg.count()
     faces = None
     for _ in range(max_bridge_rounds):
-        seg = _peel_dangles(seg)
+        if 2 * n_seg <= driver_label_threshold:
+            seg = _peel_dangles_driver(seg)
+        else:
+            seg = _peel_dangles(seg)
         if seg.limit(1).count() == 0:
             return spark.createDataFrame(
                 [],

@@ -208,3 +208,123 @@ def test_simplify_fuzz_invariants(raw, eps):
             j += 1
         assert j < len(line), "vw output is not a subsequence"
         j += 1
+
+
+@settings(max_examples=25, deadline=None)  # 3 buffer+overlay folds per example
+@given(
+    st.lists(st.tuples(_GRID_COORD, _GRID_COORD), min_size=3, max_size=7),
+    st.floats(min_value=0.05, max_value=5.0, allow_nan=False),
+)
+def test_buffer_dilate_erode_invariants(raw, r):
+    # dilation grows area by at least perimeter·r (Steiner lower bound for
+    # any simple polygon); erosion never grows it; erode(dilate(P)) of a
+    # CONVEX polygon returns exactly P's area (round joins)
+    from geo_spark.kernels.buffer import buffer_polygon
+    from geo_spark.kernels.hull import quick_hull
+
+    ring = _star_ring(raw)
+    if ring is None:
+        return
+    span = max(np.ptp(ring[:, 0]), np.ptp(ring[:, 1]))
+    if abs(_ring_area(ring)) < 1e-6 * span * span:
+        return  # buffering a sliver is its own (snap-rounded) regime
+    area = abs(_ring_area(ring))
+    perim = float(np.sum(np.hypot(np.diff(ring[:, 0]), np.diff(ring[:, 1]))))
+    out = buffer_polygon(ring, (), float(r), 8, "round", 5.0)
+    dil = sum(
+        abs(_ring_area(np.asarray(e))) - sum(abs(_ring_area(np.asarray(h))) for h in hs)
+        for e, hs in out
+    )
+    assert dil >= area + perim * r * (1 - 1e-6) - 1e-9
+    ero = buffer_polygon(ring, (), -float(r), 8, "round", 5.0)
+    ero_area = sum(
+        abs(_ring_area(np.asarray(e))) - sum(abs(_ring_area(np.asarray(h))) for h in hs)
+        for e, hs in ero
+    )
+    assert ero_area <= area * (1 + 1e-9) + 1e-9
+    # convex round-trip: erode(dilate(hull, r), r) == hull exactly
+    hull = np.asarray(quick_hull(ring[:-1]))
+    if len(hull) >= 4:
+        h_area = abs(_ring_area(hull))
+        d = buffer_polygon(hull, (), float(r), 8, "round", 5.0)
+        assert len(d) == 1
+        back = buffer_polygon(np.asarray(d[0][0]), (), -float(r), 8, "round", 5.0)
+        b_area = sum(
+            abs(_ring_area(np.asarray(e)))
+            - sum(abs(_ring_area(np.asarray(h2))) for h2 in hs)
+            for e, hs in back
+        )
+        # quad_segs=8 approximates offset arcs by INSCRIBED chords, so the
+        # dilation is slightly inside the true offset and the erode
+        # round-trip lands within a sagitta-sized band of the original
+        # (observed ~1e-7 relative); bound both sides accordingly
+        tol = 1e-4 * (h_area + perim * r + r * r * len(hull)) + 1e-9
+        assert abs(b_area - h_area) <= tol
+
+
+@settings(max_examples=100, deadline=None)
+@given(_RAW_PTS)
+def test_triangulation_counts_and_area(raw):
+    # earcut of a simple polygon: exactly n-2 triangles covering its area;
+    # Delaunay of the vertex set covers the convex hull area
+    from geo_spark.kernels.geom2 import triangulate_earcut
+    from geo_spark.kernels.hull import quick_hull
+    from geo_spark.kernels.triangulate import delaunay
+
+    ring = _star_ring(raw)
+    if ring is None:
+        return
+    span = max(np.ptp(ring[:, 0]), np.ptp(ring[:, 1]))
+    if abs(_ring_area(ring)) < 1e-6 * span * span:
+        return
+    n = len(ring) - 1
+    tris = triangulate_earcut(ring)
+    assert len(tris) == n - 2
+    pts = ring[:-1]
+    tot = sum(
+        abs(
+            (pts[b][0] - pts[a][0]) * (pts[c][1] - pts[a][1])
+            - (pts[b][1] - pts[a][1]) * (pts[c][0] - pts[a][0])
+        )
+        / 2.0
+        for a, b, c in tris
+    )
+    assert abs(tot - abs(_ring_area(ring))) < 1e-9 * max(abs(_ring_area(ring)), 1e-9)
+    dt = delaunay(pts)
+    hull = np.asarray(quick_hull(pts))
+    h_area = abs(_ring_area(hull)) if len(hull) >= 4 else 0.0
+    d_area = sum(
+        abs(
+            (pts[b][0] - pts[a][0]) * (pts[c][1] - pts[a][1])
+            - (pts[b][1] - pts[a][1]) * (pts[c][0] - pts[a][0])
+        )
+        / 2.0
+        for a, b, c in dt
+    )
+    assert abs(d_area - h_area) < 1e-9 * max(h_area, 1e-9)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.tuples(_GRID_COORD, _GRID_COORD), min_size=4, max_size=24))
+def test_voronoi_cells_contain_their_sites(raw):
+    from geo_spark.kernels.triangulate import voronoi_cells
+
+    pts = np.unique(np.asarray(raw, dtype=np.float64), axis=0)
+    if len(pts) < 4:
+        return
+    cells = voronoi_cells(pts)
+    assert len(cells) == len(pts)
+    for i, ring in enumerate(cells):
+        if len(ring) == 0:
+            continue
+        # the site lies inside (or on) its own cell: every bisector
+        # half-plane test is satisfied by construction — check the ring
+        # contains the site within tolerance via winding of the convex cell
+        c = ring[:-1]
+        x, y = pts[i]
+        cross = (
+            (np.roll(c[:, 0], -1) - c[:, 0]) * (y - c[:, 1])
+            - (np.roll(c[:, 1], -1) - c[:, 1]) * (x - c[:, 0])
+        )
+        span = max(np.ptp(c[:, 0]), np.ptp(c[:, 1]), 1e-9)
+        assert (cross >= -1e-9 * span).all() or (cross <= 1e-9 * span).all(), i
