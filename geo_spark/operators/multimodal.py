@@ -142,3 +142,74 @@ def media_dedup_exact(df: DataFrame, content_col: str = "html", id_col: str = "u
         df.groupBy(F.sha2(F.col(content_col), 256).alias("content_sha256"))
         .agg(F.count("*").alias("n_copies"), F.min(id_col).alias("keep_id"))
     )
+
+
+def resize_media(
+    df: DataFrame,
+    content_col: str = "html",
+    id_col: str = "url",
+    width: int = 64,
+    height: int = 64,
+    method: str = "box",
+) -> DataFrame:
+    """(id, content binary, width, height, ok) — decode → resize → re-encode.
+
+    REAL path end-to-end: the payload is sniffed by magic bytes (PNG/JPEG —
+    the two stdlib codecs), resized in numpy (``'box'`` average for integer
+    downscales, ``'nearest'`` otherwise/upscale), and re-encoded as PNG
+    (lossless, so resize arithmetic is exactly testable). Undecodable
+    payloads pass through with ``ok=false``. Media bytes never shuffle:
+    ``mapInPandas`` streams Arrow batches executor-side, mirroring
+    ``extract_media_features``.
+    """
+
+    def _resize(img: np.ndarray, w: int, h: int, method: str) -> np.ndarray:
+        if img.ndim == 2:
+            img = img[:, :, None]
+        ih, iw, nch = img.shape
+        if method == "box" and ih % h == 0 and iw % w == 0:
+            fy, fx = ih // h, iw // w
+            out = (
+                img.reshape(h, fy, w, fx, nch)
+                .mean(axis=(1, 3))
+                .round()
+                .astype(img.dtype)
+            )
+        else:  # nearest
+            yi = (np.arange(h) * ih // h).clip(0, ih - 1)
+            xi = (np.arange(w) * iw // w).clip(0, iw - 1)
+            out = img[yi][:, xi]
+        return out
+
+    def run(batches):
+        from geo_spark.kernels.jpeg import decode_jpeg
+        from geo_spark.kernels.png import decode_png, encode_png
+
+        for pdf in batches:
+            out = {id_col: [], "content": [], "width": [], "height": [], "ok": []}
+            for i in range(len(pdf)):
+                raw = bytes(pdf[content_col].iloc[i] or b"")
+                out[id_col].append(pdf[id_col].iloc[i])
+                img = None
+                try:
+                    if raw[:8] == b"\x89PNG\r\n\x1a\n":
+                        img = decode_png(raw)
+                    elif raw[:2] == b"\xff\xd8":
+                        img = decode_jpeg(raw)
+                except Exception:
+                    img = None
+                if img is None:
+                    out["content"].append(raw)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["ok"].append(False)
+                    continue
+                r = _resize(np.asarray(img), width, height, method)
+                out["content"].append(bytearray(encode_png(r)))
+                out["width"].append(width)
+                out["height"].append(height)
+                out["ok"].append(True)
+            yield pd.DataFrame(out)
+
+    schema = f"{id_col} string, content binary, width int, height int, ok boolean"
+    return df.select(id_col, content_col).mapInPandas(run, schema=schema)

@@ -234,3 +234,39 @@ def test_media_features_jpeg_mode(spark):
         # png_features layout: [w, h, nch, mean/255, ...] — constant image
         assert feats[0] == 16.0 and feats[1] == 16.0 and feats[2] == 1.0
         assert abs(feats[3] - (128 + 2 * i) / 255.0) < 1e-12
+
+
+def test_resize_media_box_and_nearest(spark):
+    import numpy as np
+
+    from geo_spark.kernels.jpeg import encode_jpeg
+    from geo_spark.kernels.png import decode_png, encode_png
+    from geo_spark.operators.multimodal import resize_media
+
+    # PNG 16x16 with 4 constant 8x8 quadrants -> box 2x downsample is exact
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    vals = [(10, 20, 30), (40, 50, 60), (70, 80, 90), (100, 110, 120)]
+    for b, v in enumerate(vals):
+        by, bx = divmod(b, 2)
+        img[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8] = v
+    # JPEG gray, DC-exact constant
+    jimg = np.full((16, 16), 130, dtype=np.uint8)
+    rows = [
+        ("png", bytearray(encode_png(img))),
+        ("jpg", bytearray(encode_jpeg(jimg, quality=50))),
+        ("bad", bytearray(b"nope")),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    out = {r["url"]: r for r in resize_media(df, width=8, height=8).collect()}
+    assert out["bad"]["ok"] is False
+    dec = decode_png(bytes(out["png"]["content"]))
+    assert dec.shape == (8, 8, 3)
+    for b, v in enumerate(vals):
+        by, bx = divmod(b, 2)
+        assert (dec[by * 4 : (by + 1) * 4, bx * 4 : (bx + 1) * 4] == v).all()
+    jdec = decode_png(bytes(out["jpg"]["content"]))
+    assert jdec.shape[:2] == (8, 8)
+    assert (np.asarray(jdec).reshape(-1) == 130).all()
+    # non-integer ratio -> nearest path
+    out2 = resize_media(df.filter("url = 'png'"), width=5, height=7).collect()[0]
+    assert decode_png(bytes(out2["content"])).shape == (7, 5, 3)
