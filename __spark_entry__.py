@@ -2545,6 +2545,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(LENGTH(text) AS INT) AS n_chars,
                    CAST(LEN({_TOKS}) AS INT) AS n_tokens,
+                   CAST(LEN(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS INT)
+                     AS n_bpe_tokens,
                    CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS INT) AS n_spaces,
                    CASE WHEN LEN({_TOKS}) > 0 THEN
                      CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / LEN({_TOKS})

@@ -21,11 +21,25 @@ _LANG_MARKERS = {
 }
 
 
+# BPE-style pre-tokenizer classes (the GPT-2 pattern's regex family,
+# simplified to the lookahead-free subset both Java regex and RE2 share):
+# a run of letters / digits / other-non-space, each with an optional
+# leading space. Leftmost-first alternation is identical in both engines,
+# so counts hash-match the DuckDB oracle.
+BPE_LIKE_PATTERN = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
 def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, n_chars, n_tokens, n_spaces, avg_token_len) — pure SQL."""
+    """(id, n_chars, n_tokens, n_bpe_tokens, n_spaces, avg_token_len).
+
+    Pure SQL: whitespace tokens plus a BPE-ish subword-pretokenizer count
+    (``BPE_LIKE_PATTERN`` match count — the standard LLM-pipeline proxy for
+    token budgets before a real BPE vocabulary is applied).
+    """
     toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
     n_tokens = F.size(toks)
     n_chars = F.length(F.col(text_col))
+    n_bpe = F.size(F.expr(f"regexp_extract_all({text_col}, '{BPE_LIKE_PATTERN}', 0)"))
     n_spaces = n_chars - F.length(F.replace(F.col(text_col), F.lit(" "), F.lit("")))
     avg_len = F.when(n_tokens > 0, (n_chars - n_spaces).cast("double") / n_tokens).otherwise(
         F.lit(0.0)
@@ -34,6 +48,7 @@ def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         F.col(id_col),
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
         n_spaces.alias("n_spaces"),
         avg_len.alias("avg_token_len"),
     )
