@@ -1001,7 +1001,9 @@ def _q_geodesic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geo_spark.operators.dedup import ensure_parallelism
     from geo_spark.operators.geodesic_ops import geodesic_bearing_deg, geodesic_meters
 
-    # the inverse solver is CPU-bound per row: spread the single-file scan
+    # size-aware spread: the Karney solver is vectorized numpy per Arrow
+    # batch, so 1-2 partitions suffice at driver scale (measured 0.7 s) and
+    # the bytes-based target scales partitions with the input
     pts = ensure_parallelism(_derived_points(spark, sf_dir))
     return pts.select(
         "doc_id",
@@ -2037,6 +2039,9 @@ def _q_voronoi_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-task stage; geometric correctness still PIP-gated below.
     # persist: pip_join evaluates its polygon side twice (cover collect +
     # broadcast join) — without this the whole Voronoi plan re-executes
+    # persist is deliberately not unpersisted (the query returns a lazy
+    # plan over it); the rings are ~1 MB at bench scale and Spark's LRU
+    # block eviction bounds accumulation across a long session
     cells = voronoi_distributed(sites, id_col="doc_id").persist()
     polys = cells.select(
         F.col("doc_id").alias("polygon_id"),

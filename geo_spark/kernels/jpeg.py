@@ -409,7 +409,9 @@ def _magnitude(v: int) -> tuple[int, int]:
 
 def _encode_blocks(plane: np.ndarray, q: np.ndarray, dc_codes, ac_codes, bw, pred):
     ph, pw = plane.shape
-    qm = q[_UNZIGZAG].reshape(8, 8).astype(np.float64)
+    # q arrives in NATURAL order (the Annex-K layout of QTAB_*); the DQT
+    # writer reorders to zigzag at emission, so quantize directly
+    qm = q.reshape(8, 8).astype(np.float64)
     for y0 in range(0, ph, 8):
         for x0 in range(0, pw, 8):
             block = plane[y0 : y0 + 8, x0 : x0 + 8] - 128.0
@@ -480,7 +482,12 @@ def encode_jpeg(img: np.ndarray, quality: int = 75) -> bytes:
     out += b"\xff\xd8"  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     for tq, q in enumerate(qt[: (2 if nch == 3 else 1)]):
-        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + bytes(int(v) for v in q)
+        # T.81 B.2.4.1: DQT bytes are in ZIGZAG order (byte z = the step
+        # for zigzag position z = natural position ZIGZAG[z])
+        out += (
+            b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq])
+            + bytes(int(q[ZIGZAG[z]]) for z in range(64))
+        )
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nch, 8, h, w, nch)
     for c in range(nch):
         out += bytes([c + 1, 0x11, 0 if c == 0 else 1])

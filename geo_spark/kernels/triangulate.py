@@ -352,32 +352,6 @@ def _delaunay_small(pts: np.ndarray) -> list[tuple[int, int, int]]:
     ]
 
 
-def _circumcenter_err(a, b, c) -> float:
-    """First-order bound on the float circumcenter's absolute error |Δcc|.
-
-    ``circumcenter`` computes u = N/d with N a 3-term sum of
-    (x²+y²)·Δcoord products and d = 4·area. Each rounding in N contributes
-    ≲ eps·|term|, and d's own cancellation error scales the quotient by the
-    same ratio, so |Δcc| ≲ eps·(Σ|term|)/|d| up to a small constant (the
-    caller multiplies by a safety factor). Degenerate d = 0 → inf. Slivers
-    make this huge — which is the point: the Bowyer-Watson band then routes
-    every decision about them to the exact incircle.
-    """
-    m2 = max(
-        a[0] * a[0] + a[1] * a[1],
-        b[0] * b[0] + b[1] * b[1],
-        c[0] * c[0] + c[1] * c[1],
-    )
-    lsum = (
-        abs(b[1] - c[1]) + abs(c[1] - a[1]) + abs(a[1] - b[1])
-        + abs(b[0] - c[0]) + abs(c[0] - a[0]) + abs(a[0] - b[0])
-    )
-    d = 2.0 * (a[0] * (b[1] - c[1]) + b[0] * (c[1] - a[1]) + c[0] * (a[1] - b[1]))
-    if d == 0:
-        return float("inf")
-    return _EPS * m2 * lsum / abs(d)
-
-
 def circumcenter(a, b, c) -> tuple[float, float] | None:
     ax, ay = a
     bx, by = b
@@ -645,6 +619,15 @@ def constrained_delaunay(points, constraints, base_tris=None):
                     v for v in adj.get(cur, [])
                     if v != prev and (v == j or side(v) == side_sign)
                 ]
+                if not nxts:
+                    # a cavity vertex exactly collinear with (i,j) BEYOND
+                    # the open segment (side == 0, not split as a mid) can
+                    # sit on the boundary path — admit it to this chain
+                    # before declaring the walk dead
+                    nxts = [
+                        v for v in adj.get(cur, [])
+                        if v != prev and side(v) == 0 and v not in (i, j)
+                    ]
                 if not nxts:
                     # a failed walk leaves one cavity side untriangulated —
                     # fail loudly rather than return a holed triangulation

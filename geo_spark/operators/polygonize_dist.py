@@ -154,6 +154,20 @@ def _half_edges(seg: DataFrame) -> DataFrame:
     return he.withColumn("he_id", F.xxhash64("ox", "oy", "dx", "dy"))
 
 
+def _assert_no_id_collisions(he: DataFrame, n_he: int) -> None:
+    """64-bit coordinate hashes collide with ~50% probability near 2³²
+    half-edges (birthday bound); a collision silently merges two faces.
+    One aggregation detects it and fails loudly — at that scale the check
+    is proportional to the data it protects."""
+    distinct = he.select("he_id").distinct().count()
+    if distinct != n_he:
+        raise RuntimeError(
+            f"polygonize_distributed: xxhash64 half-edge id collision "
+            f"({n_he - distinct} dup ids over {n_he} half-edges) — widen "
+            "the id (e.g. add a second-seed hash column) for this dataset"
+        )
+
+
 def _successors(he: DataFrame) -> DataFrame:
     """(he_id, succ_id): left-face successor per half-edge — pure SQL.
 
@@ -343,6 +357,8 @@ def polygonize_distributed(
     planning dominates at small scale; 0 forces the distributed path.
     See the module docstring for the stage-by-stage 100 TB plan.
     """
+    if max_bridge_rounds < 1:
+        raise ValueError("max_bridge_rounds must be >= 1")
     spark = segments.sparkSession
     if parallelism is None:
         parallelism = spark.sparkContext.defaultParallelism
@@ -350,6 +366,8 @@ def polygonize_distributed(
     n_seg = seg.count()
     faces = None
     for _ in range(max_bridge_rounds):
+        # n_seg is refreshed after each bridge-removal round below, so the
+        # driver-vs-distributed choice tracks the shrinking table
         if 2 * n_seg <= driver_label_threshold:
             seg = _peel_dangles_driver(seg)
         else:
@@ -363,6 +381,7 @@ def polygonize_distributed(
         # assembly join, so un-truncated lineage re-nests per stage
         he = _half_edges(seg).localCheckpoint(eager=False)
         n_he = he.count()
+        _assert_no_id_collisions(he, n_he)
         succ = _successors(he).localCheckpoint(eager=False)
         if n_he <= driver_label_threshold:
             labels = _label_cycles_driver(succ)
@@ -378,7 +397,10 @@ def polygonize_distributed(
         )
         if bridges.limit(1).count() == 0:
             break
-        seg = seg.join(bridges, ["ax", "ay", "bx", "by"], "left_anti")
+        seg = seg.join(bridges, ["ax", "ay", "bx", "by"], "left_anti").localCheckpoint(
+            eager=True
+        )
+        n_seg = seg.count()
 
     shells = faces.filter(F.col("area") > 0).select(
         F.col("face_id").alias("shell_id"), F.col("ring").alias("shell"), "area"
