@@ -187,16 +187,17 @@ def boolean_op(exterior_a, interiors_a, exterior_b, interiors_b, op: str):
     # algebra directly
     a_dead = len(sa) < 4 or ring_signed_area(sa) == 0.0
     b_dead = len(sb) < 4 or ring_signed_area(sb) == 0.0
+    live_h = lambda h: len(h) >= 4 and ring_signed_area(h) != 0.0  # noqa: E731
     if a_dead or b_dead:
-        a_poly = [] if a_dead else [(sa, [h for h in ha if len(h) >= 4])]
-        b_poly = [] if b_dead else [(sb, [h for h in hb if len(h) >= 4])]
+        a_poly = [] if a_dead else [(sa, [h for h in ha if live_h(h)])]
+        b_poly = [] if b_dead else [(sb, [h for h in hb if live_h(h)])]
         if op in ("union", "xor"):
             return a_poly + b_poly  # at most one side survives here
         if op == "intersection":
             return []
         return a_poly  # difference: b collapsed → a; a collapsed → []
     return _boolean_op_float(
-        sa, [h for h in ha if len(h) >= 4], sb, [h for h in hb if len(h) >= 4], op
+        sa, [h for h in ha if live_h(h)], sb, [h for h in hb if live_h(h)], op
     )
 
 

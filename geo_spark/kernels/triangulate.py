@@ -76,6 +76,16 @@ def delaunay(points: np.ndarray) -> list[tuple[int, int, int]]:
     n = len(pts)
     if n < 3:
         return []
+    # Translate to the per-axis minimum: the circumcenter lifts (x²+y²)
+    # carry eps·|coord|² cancellation, so a 1e-8-extent cluster at UTM-scale
+    # coordinates (4e6) is hopelessly conditioned in place. For exactly
+    # that case — extent ≪ magnitude — every coordinate is within a factor
+    # of 2 of the minimum, making the subtraction Sterbenz-EXACT (zero
+    # perturbation); for wide-spread data the subtraction error is ≤ eps·
+    # |coord|, negligible against the extent. Output is index triples, so
+    # the shift never leaves this function. (Review-driven, round 5:
+    # UTM-scale near-collinear stress failures 1345→0 of 1500.)
+    pts = pts - pts.min(axis=0)
     if n <= 32:
         # tiny inputs: the numpy buffer machinery costs more than it saves
         # (measured ~1.5 ms for 8 points); the scalar walk is ~5× faster
@@ -153,7 +163,13 @@ def delaunay(points: np.ndarray) -> list[tuple[int, int, int]]:
                 abs(by - qy) + abs(qy - ay) + abs(ay - by)
                 + abs(bx - qx) + abs(qx - ax) + abs(ax - bx)
             )
-            dcc[m] = _EPS * m2 * lsum / abs(d)
+            # |Δcc| ≲ eps·(Σ|num terms| + |cc|·Σ|d terms|)/|d|: the SECOND
+            # term is the denominator's own rounding scaled by the quotient
+            # — omitting it under-estimates the error by |cc|/coord factors
+            # for near-collinear clusters far from the origin (review-found:
+            # UTM-scale coords at 4e6 produced non-Delaunay output)
+            ccmag = abs(ux) + abs(uy)
+            dcc[m] = _EPS * lsum * (m2 + ccmag * m2 ** 0.5) / abs(d)
         vax[m], vay[m] = p0x, p0y
         m += 1
 
@@ -281,7 +297,8 @@ def _delaunay_small(pts: np.ndarray) -> list[tuple[int, int, int]]:
             abs(by - cy) + abs(cy - ay) + abs(ay - by)
             + abs(bx - cx) + abs(cx - ax) + abs(ax - bx)
         )
-        err = _EPS * m2 * lsum / abs(d)
+        # numerator + denominator rounding terms — see the _push note
+        err = _EPS * lsum * (m2 + (abs(ux) + abs(uy)) * m2 ** 0.5) / abs(d)
         return (a, b, c, ux, uy, dx * dx + dy * dy, err, p0x, p0y)
 
     tris = [mk(n, n + 1, n + 2)]
@@ -387,8 +404,6 @@ def voronoi_cells(points: np.ndarray, clip_rect=None) -> list[np.ndarray]:
     back to all-pairs bisectors for that site only, preserving exactness on
     degenerate inputs.
     """
-    from geo_spark.kernels.clip import _clip_half_plane
-
     pts = np.asarray(points, dtype=np.float64)
     n = len(pts)
     if clip_rect is None:
@@ -513,7 +528,11 @@ def _retriangulate_chain(chain, a, b, pts, out):
             ci = k
     c = chain[ci]
     _retriangulate_chain(chain[:ci], a, c, pts, out)
-    out.append((a, c, b))
+    # a side-0 cavity vertex admitted by the walk fallback can make (a,c,b)
+    # exactly collinear — emit only real-area triangles (the sub-chains
+    # still carry whatever area exists on either side)
+    if orient2d(pts[a][0], pts[a][1], pts[c][0], pts[c][1], pts[b][0], pts[b][1]) != 0:
+        out.append((a, c, b))
     _retriangulate_chain(chain[ci + 1 :], c, b, pts, out)
 
 
