@@ -148,19 +148,31 @@ def pip_join_points_polygons(
     """
     spark = points.sparkSession
     # the polygon geometry must land on the driver regardless (broadcast
-    # refine is this operator's contract). Below the threshold, one collect
+    # refine is this operator's contract). Below the threshold, one fetch
     # feeds both the cover build and the geometry table (a few hundred
     # covers cost less than a Spark job round-trip). Above it, the cover
     # builds distributedly (mapInPandas) and the geometry STREAMS to the
     # driver via toLocalIterator — at the ~1M-polygon contract ceiling this
     # holds one copy of the geometry (the broadcast dict), not two (the
     # collected Row list plus the dict).
+    #
+    # Small-side fast path: a polygon table synthesized driver-side (e.g.
+    # sources.documents.synth_admin_polygons) tags itself with the local row
+    # list it was built from; using it directly skips the count + collect
+    # jobs entirely — two scheduler round-trips that otherwise dominate the
+    # fixed cost of every admin-scale PIP query.
     driver_cover_threshold = 20_000
-    n_polys = polygons.count()
-    if n_polys <= driver_cover_threshold:
-        poly_rows = polygons.select(
+    poly_rows = getattr(polygons, "_geo_spark_local_rows", None)
+    if poly_rows is None:
+        # one job replaces the old count() + collect() pair: fetch at most
+        # threshold+1 rows — fewer means the driver path with rows in hand,
+        # more means the distributed path (the fetched rows are discarded)
+        fetched = polygons.select(
             "polygon_id", "exterior", "interiors", "xmin", "ymin", "xmax", "ymax"
-        ).collect()
+        ).take(driver_cover_threshold + 1)
+        if len(fetched) <= driver_cover_threshold:
+            poly_rows = fetched
+    if poly_rows is not None:
         if res is None:
             res = choose_res(poly_rows)
         cover_rows = _driver_cover_rows(poly_rows, res)
