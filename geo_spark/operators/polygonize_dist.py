@@ -341,12 +341,40 @@ def _assemble_faces(
     )
 
 
+def _polygonize_driver(spark, seg_rows) -> DataFrame:
+    """Whole-pipeline driver path for small linework: one take() already
+    fetched the segments, the per-row kernel (the parity reference of the
+    distributed pipeline) assembles the faces in-process, and the result
+    parallelizes back. Replaces ~10 sequential micro-stages (peel fixpoint,
+    successor window, labeling, face walk, bridge rounds, hole broadcast)
+    whose per-stage scheduling dominates below ~20k segments."""
+    from geo_spark.kernels.polygonize import _ring_area, polygonize
+
+    faces = polygonize([((r[0], r[1]), (r[2], r[3])) for r in seg_rows])
+    schema = f"exterior {_RING_T}, interiors array<{_RING_T}>, area double"
+    if not faces:
+        return spark.createDataFrame([], schema)
+    rows = []
+    for ext, holes in faces:
+        # same shoelace the distributed face walk computes (open ring)
+        area = _ring_area([tuple(p) for p in ext[:-1]])
+        rows.append(
+            (
+                [{"x": float(x), "y": float(y)} for x, y in ext],
+                [[{"x": float(x), "y": float(y)} for x, y in h] for h in holes],
+                float(area),
+            )
+        )
+    return spark.createDataFrame(rows, schema)
+
+
 def polygonize_distributed(
     segments: DataFrame,
     max_bridge_rounds: int = 8,
     max_ring_len: int | None = None,
     parallelism: int | None = None,
     driver_label_threshold: int = 200_000,
+    driver_face_threshold: int = 20_000,
 ) -> DataFrame:
     """Segments table (x1,y1,x2,y2 — noded) → faces table
     (exterior, interiors, area), JTS-Polygonizer semantics.
@@ -355,11 +383,23 @@ def polygonize_distributed(
     labeling collects the two-long (id, succ) permutation to the driver
     (one job) instead of ⌈log₂ n⌉ self-join rounds whose Catalyst
     planning dominates at small scale; 0 forces the distributed path.
-    See the module docstring for the stage-by-stage 100 TB plan.
+
+    ``driver_face_threshold``: below this many input segments the ENTIRE
+    pipeline runs on the driver via the per-row kernel (the same adaptive
+    pattern, one level up): one take() + in-process assembly beats the
+    ~10 sequential micro-stages whose scheduling dominates at small n.
+    0 forces the distributed pipeline (tests use this to keep both paths
+    parity-gated). See the module docstring for the 100 TB plan.
     """
     if max_bridge_rounds < 1:
         raise ValueError("max_bridge_rounds must be >= 1")
     spark = segments.sparkSession
+    if driver_face_threshold > 0:
+        fetched = segments.select("x1", "y1", "x2", "y2").take(
+            driver_face_threshold + 1
+        )
+        if len(fetched) <= driver_face_threshold:
+            return _polygonize_driver(spark, fetched)
     if parallelism is None:
         parallelism = spark.sparkContext.defaultParallelism
     seg = _canon(segments).repartition(parallelism).localCheckpoint(eager=True)

@@ -61,6 +61,18 @@ def _grid_segments(cols, rows, x0=0.0, y0=0.0):
 
 
 def test_grid_mosaic_parity(spark):
+    # driver_face_threshold=0 forces the full distributed pipeline (the
+    # default now routes small inputs through the driver-side kernel)
+    segs = _grid_segments(4, 3)
+    got = _dist_result(spark, segs, driver_face_threshold=0)
+    exp = _kernel_result(segs)
+    assert len(exp) == 12
+    assert got == exp
+
+
+def test_grid_mosaic_parity_driver_face_path(spark):
+    # the small-input whole-pipeline driver path (default thresholds) must
+    # emit the same faces as the distributed pipeline / kernel
     segs = _grid_segments(4, 3)
     got = _dist_result(spark, segs)
     exp = _kernel_result(segs)
@@ -72,13 +84,25 @@ def test_grid_mosaic_parity_distributed_labeling(spark):
     # driver_label_threshold=0 forces the pointer-doubling path (the 100 TB
     # shape); results must match the driver-side labeling exactly
     segs = _grid_segments(3, 3)
-    got = _dist_result(spark, segs, driver_label_threshold=0, max_ring_len=64)
+    got = _dist_result(
+        spark, segs, driver_label_threshold=0, driver_face_threshold=0,
+        max_ring_len=64,
+    )
     exp = _kernel_result(segs)
     assert len(exp) == 9
     assert got == exp
 
 
-def test_dangles_bridges_holes_parity(spark):
+def test_dangles_bridges_holes_parity_both_paths(spark):
+    segs = _dangles_bridges_holes_segs()
+    exp = _kernel_result(segs)
+    assert len(exp) == 4
+    assert any(h for _, h in exp)  # one polygon has a hole
+    assert _dist_result(spark, segs) == exp  # driver face path
+    assert _dist_result(spark, segs, driver_face_threshold=0) == exp
+
+
+def _dangles_bridges_holes_segs():
     # two squares joined by a bridge, a dangling chain, and a square with
     # an island (hole + standalone polygon, the JTS double-emission)
     segs = [
@@ -102,14 +126,7 @@ def test_dangles_bridges_holes_parity(spark):
     segs += [((2, 0), (2, 1)), ((2, 1), (2, 2))]
     segs.remove(((4, 2), (4, 0)))
     segs += [((4, 2), (4, 1)), ((4, 1), (4, 0))]
-
-    got = _dist_result(spark, segs)
-    exp = _kernel_result(segs)
-    assert got == exp
-    # sanity on the expected shape: A, B, island standalone, big square
-    # with the island hole
-    assert len(exp) == 4
-    assert any(h for _, h in exp)  # one polygon has a hole
+    return segs
 
 
 def test_disconnected_components_and_pure_dangles(spark):
