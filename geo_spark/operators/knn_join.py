@@ -143,7 +143,13 @@ def _covered_radius_col(metric: str, lat_col, res: int):
     wx = _lon_ring_width_col(lat_col, res)
     lat_cover = F.lit(_M_PER_DEG * h_lat)
     lon_cover = F.lit((4.0 / math.pi) * _M_PER_DEG * h_lat) * cos_max * wx.cast("double")
-    return F.least(lat_cover, lon_cover)
+    # full longitude wrap (2·wx+1 ≥ n): the ring covers every lon column, so
+    # the only way out of the block is ≥ 1 full latitude cell — the lon term
+    # (which collapses near the poles / at coarse res) no longer applies.
+    # This keeps the certificate sound while rescuing coarse-res and
+    # high-latitude queries from a needless retry cascade.
+    full_wrap = (wx * 2 + F.lit(1)) >= F.lit(n)
+    return F.when(full_wrap, lat_cover).otherwise(F.least(lat_cover, lon_cover))
 
 
 def knn_join(
@@ -205,9 +211,15 @@ def knn_join(
     filled = certified(first, res)
     pieces = [first.join(filled, query_id, "left_semi")]
     stragglers = q.join(filled, query_id, "left_anti")
+    # one cheap count per level ends the cascade as soon as the straggler
+    # set drains: an empty set would otherwise still schedule the retry and
+    # level-1 tail joins — each a full scan + shuffle of the target table —
+    # for zero output rows (AQE only discovers the emptiness after the
+    # target-side shuffle map stages have run)
+    n_strag = stragglers.count()
     level = res
     step = max(coarse_retry_levels, 1)
-    while level > 1:
+    while level > 1 and n_strag > 0:
         level = max(level - step, 1)
         if level == 1:
             break
@@ -217,14 +229,16 @@ def knn_join(
         fl = certified(retry, level)
         pieces.append(retry.join(fl, query_id, "left_semi"))
         stragglers = stragglers.join(fl, query_id, "left_anti")
+        n_strag = stragglers.count()
     if stats_out is not None:
-        stats_out["brute_queries"] = stragglers.count()
+        stats_out["brute_queries"] = n_strag
     # Exhaustive tail, still a bucketed join (no crossJoin): at level 1 the
     # 2×2 grid's ±1 wrap makes every target a candidate of every remaining
     # query, so this top-k is exact with NO certificate needed. The tail is
     # only queries uncertified at every coarser ring — a sparse-region/
     # adversarial remainder (bounded in tests via ``stats_out``).
-    pieces.append(topk(candidates_at(stragglers, 1)))
+    if n_strag > 0:
+        pieces.append(topk(candidates_at(stragglers, 1)))
     from functools import reduce
 
     result = reduce(lambda a, b: a.unionByName(b), pieces)

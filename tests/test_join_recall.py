@@ -282,3 +282,41 @@ def test_knn_adversarial_empty_hemisphere_bounded_tail(spark):
         exp = np.sort(d)[:k]
         got = np.sort([r["dist"] for r in rows])
         assert np.allclose(got, exp, rtol=1e-9), qid
+
+
+def test_knn_full_wrap_certificate_first_level(spark):
+    # Round-6 optimization: when the per-row longitude ring wraps the whole
+    # circle (coarse res / high latitude), the covered radius is the full
+    # latitude-cell cover — the lon term (which collapses near the poles)
+    # no longer applies. Global queries at a coarse res must then certify
+    # at the FIRST level (no retry/tail jobs) and stay exact vs brute force.
+    import numpy as np
+
+    from geo_spark.operators.knn_join import knn_join
+
+    rng = np.random.RandomState(11)
+    n, k = 300, 3
+    lons = rng.uniform(-179, 179, n)
+    lats = rng.uniform(-85, 85, n)
+    df = spark.createDataFrame(
+        [(int(i), float(lons[i]), float(lats[i])) for i in range(n)],
+        "id long, lon double, lat double",
+    )
+    queries = df.filter(F.col("id") % 10 == 0).withColumnRenamed("id", "qid")
+    targets = df.withColumnRenamed("id", "tid")
+    stats = {}
+    out = knn_join(
+        queries, targets, k=k, res=3, metric="haversine",
+        exclude_self=True, stats_out=stats,
+    ).collect()
+    assert stats["brute_queries"] == 0  # everything certified at level res
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["qid"], []).append(r)
+    assert len(by_q) == n // 10
+    for qid, rows in by_q.items():
+        d = _hav_np(lons, lats, lons[qid], lats[qid])
+        d[qid] = np.inf
+        exp = np.sort(d)[:k]
+        got = np.sort([r["dist"] for r in rows])
+        np.testing.assert_allclose(got, exp, rtol=1e-9)
