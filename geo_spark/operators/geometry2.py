@@ -296,6 +296,7 @@ def voronoi_distributed(
     clip_rect: tuple | None = None,
     res: int | None = None,
     target_sites_per_tile: int = 400,
+    driver_site_threshold: int = 2_000,
 ) -> DataFrame:
     """Exact Voronoi with NO single-task global stage — tile+halo
     certificate construction (voronoi.rs:216 semantics; cells clipped to
@@ -343,11 +344,58 @@ def voronoi_distributed(
     if gcol is None:
         sites = sites.withColumn("_grp", F.lit(0))
         gcol = "_grp"
-    s = sites.select(gcol, id_col, lon_col, lat_col).cache()
+    s = sites.select(gcol, id_col, lon_col, lat_col)
     # carry the caller's group/id types through both applyInPandas schemas
     # (string region keys etc. — no integer-group restriction)
     dtypes = dict(s.dtypes)
     gtype, itype = dtypes[gcol], dtypes[id_col]
+    ring_t = "array<struct<x:double,y:double>>"
+    out_schema = (
+        f"{gcol} {gtype}, {id_col} {itype}, {lon_col} double, {lat_col} double, "
+        f"cell_ring {ring_t}"
+    )
+    # Small-side driver path (same adaptive pattern as DBSCAN / polygonize /
+    # the cycle labeling): below the threshold one take() + the local kernel
+    # beats the 3 sequential job waves (bbox aggs, pass-1 materialize,
+    # completion) whose scheduling dominates at small n. The local kernel is
+    # the distributed construction's parity reference (same clip-rect
+    # formula, same cell constructor), so rings agree up to rotation; 0
+    # forces the distributed path (parity tests pin both).
+    if driver_site_threshold > 0:
+        fetched = s.take(driver_site_threshold + 1)
+        if len(fetched) <= driver_site_threshold:
+            from geo_spark.kernels.triangulate import voronoi_cells
+
+            by_group: dict = {}
+            for r in fetched:
+                by_group.setdefault(r[0], []).append((r[1], r[2], r[3]))
+            out_rows = []
+            for g, members in by_group.items():
+                pts = np.asarray(
+                    [(m[1], m[2]) for m in members], dtype=np.float64
+                )
+                rect = tuple(clip_rect) if clip_rect is not None else None
+                cells = voronoi_cells(pts, clip_rect=rect)
+                for (mid, mlon, mlat), ring in zip(members, cells):
+                    out_rows.append(
+                        (g, mid, float(mlon), float(mlat), _to_rows(ring))
+                    )
+            out = sites.sparkSession.createDataFrame(out_rows, out_schema)
+            if group_col is None:
+                out = out.drop(gcol)
+            # same handshake as synth_admin_polygons → pip_join: downstream
+            # consumers (e.g. a PIP probe join over the cells) can reuse the
+            # driver-resident rows instead of a take() round trip through
+            # the local-relation plan
+            cols = ([] if group_col is None else [gcol]) + [
+                id_col, lon_col, lat_col, "cell_ring"
+            ]
+            skip = 0 if group_col is not None else 1
+            out._geo_spark_local_rows = [
+                dict(zip(cols, r[skip:] if skip else r)) for r in out_rows
+            ]
+            return out
+    s = s.cache()
     aggs = (
         s.groupBy(gcol)
         .agg(

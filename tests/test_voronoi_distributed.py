@@ -36,7 +36,7 @@ def test_distributed_matches_single_task(spark):
         [(int(i), float(x), float(y)) for i, (x, y) in enumerate(pts)],
         "site_id long, lon double, lat double",
     )
-    got = _rings(voronoi_distributed(df, res=4).collect())
+    got = _rings(voronoi_distributed(df, res=4, driver_site_threshold=0).collect())
     exp = _rings(
         voronoi_of_group(
             df.withColumn("group_id", F.lit(0)), id_col="site_id"
@@ -57,7 +57,8 @@ def test_distributed_grouped(spark):
         "site_id long, lon double, lat double, grp long",
     )
     got = _rings(
-        voronoi_distributed(df, id_col="site_id", group_col="grp", res=3).collect(),
+        voronoi_distributed(df, id_col="site_id", group_col="grp", res=3,
+                            driver_site_threshold=0).collect(),
         key=lambda r: (r["grp"], r["site_id"]),
     )
     exp = _rings(
@@ -77,7 +78,7 @@ def test_distributed_degenerate_inputs(spark):
     # sites get identical cells (degenerate zero-normal bisector is a no-op)
     rows = [(0, 5.0, 5.0), (1, 5.0, 5.0), (2, 10.0, 5.0), (3, 15.0, 5.0), (4, 20.0, 5.0)]
     df = spark.createDataFrame(rows, "site_id long, lon double, lat double")
-    out = {r["site_id"]: r["cell_ring"] for r in voronoi_distributed(df, res=2).collect()}
+    out = {r["site_id"]: r["cell_ring"] for r in voronoi_distributed(df, res=2, driver_site_threshold=0).collect()}
     assert set(out) == {0, 1, 2, 3, 4}
     a0 = np.array([(c["x"], c["y"]) for c in out[0]])
     a1 = np.array([(c["x"], c["y"]) for c in out[1]])
@@ -108,7 +109,7 @@ def test_distributed_plan_is_multi_task(spark):
         _with_halo_cells(df, "lon", "lat", h, res).select("_cell").distinct().count()
     )
     assert n_tiles >= 8, n_tiles
-    out = voronoi_distributed(df)
+    out = voronoi_distributed(df, driver_site_threshold=0)
     assert out.count() == n
 
 
@@ -129,7 +130,8 @@ def test_distributed_string_group_keys(spark):
         ],
         "site_id long, lon double, lat double, region string",
     )
-    got = voronoi_distributed(df, id_col="site_id", group_col="region", res=3)
+    got = voronoi_distributed(df, id_col="site_id", group_col="region", res=3,
+                              driver_site_threshold=0)
     assert dict(got.dtypes)["region"] == "string"
     gotr = _rings(got.collect(), key=lambda r: (r["region"], r["site_id"]))
     exp = _rings(
@@ -140,3 +142,26 @@ def test_distributed_string_group_keys(spark):
     )
     assert set(gotr) == set(exp)
     assert all(_same_ring(gotr[k], exp[k]) for k in exp)
+
+
+def test_driver_site_path_matches_distributed(spark):
+    # Round-6 optimization: below driver_site_threshold the whole
+    # construction runs on the driver via the same local kernel. Both paths
+    # must emit the same rings (up to rotation), grouped and ungrouped,
+    # including degenerate duplicate sites.
+    from geo_spark.operators.geometry2 import voronoi_distributed
+
+    rng = np.random.RandomState(23)
+    n = 500
+    pts = np.column_stack([rng.uniform(-20, 25, n), rng.uniform(30, 55, n)])
+    rows = [(int(i), float(x), float(y), int(i % 3)) for i, (x, y) in enumerate(pts)]
+    rows.append((n, rows[0][1], rows[0][2], 0))  # duplicate site
+    df = spark.createDataFrame(rows, "site_id long, lon double, lat double, grp long")
+    kw = dict(id_col="site_id", group_col="grp", res=3)
+    key = lambda r: (r["grp"], r["site_id"])
+    drv = _rings(voronoi_distributed(df, **kw).collect(), key=key)
+    dist = _rings(
+        voronoi_distributed(df, driver_site_threshold=0, **kw).collect(), key=key
+    )
+    assert set(drv) == set(dist)
+    assert all(_same_ring(drv[k], dist[k]) for k in dist)
