@@ -233,21 +233,34 @@ def ivf_topk(
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def probes(vec: pd.Series) -> pd.Series:
-        out = []
-        for v in vec:
-            d = C @ np.asarray(v, dtype=np.float64)
-            idx = np.argsort(-d, kind="stable")[:nprobe]
-            out.append([int(x) for x in idx])
-        return pd.Series(out)
+        # one (batch, dim) × (dim, cells) matmul + row-wise argsort — the
+        # query side needs the nprobe nearest cells in order
+        M = np.asarray([np.asarray(v, dtype=np.float64) for v in vec])
+        if len(M) == 0:
+            return pd.Series([], dtype=object)
+        D = M @ C.T
+        idx = np.argsort(-D, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([[int(x) for x in row] for row in idx])
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(vec: pd.Series) -> pd.Series:
+        # corpus-side assignment is the |corpus|-scale hot path and only
+        # needs the argmax cell (first max == stable-argsort[0])
+        M = np.asarray([np.asarray(v, dtype=np.float64) for v in vec])
+        if len(M) == 0:
+            return pd.Series([], dtype=np.int32)
+        return pd.Series(np.argmax(M @ C.T, axis=1).astype(np.int32))
 
     cor = corpus.select(
         F.col(id_col), F.col(vec_col).alias("_cvec")
-    ).withColumn("_cell", probes("_cvec")[0])
+    ).withColumn("_cell", assign("_cvec"))
     q = (
         queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
         .withColumn("_cell", F.explode(probes("_qvec")))
     )
-    cand = cor.join(q, "_cell")
+    # queries ≪ corpus: broadcast the probe side so the corpus never
+    # shuffles for the cell equi-join
+    cand = cor.join(F.broadcast(q), "_cell")
     denom = _norm(F.col("_qvec")) * _norm(F.col("_cvec"))
     cos = F.when(denom == 0, F.lit(0.0)).otherwise(
         _dot(F.col("_qvec"), F.col("_cvec")) / denom
