@@ -430,7 +430,12 @@ def ngram_jaccard_pairs(
             ).otherwise(F.array(F.array_join(toks, " ")))
         )
 
-    texts = df.select(F.col(id_col), grams(F.col(text_col)).alias("grams"))
+    # the n-gram build (split + transform + array_join + array_distinct) is
+    # a ≥100µs/row interpreted-expression chain; a small-file scan gives it
+    # 1 partition and a single core without the spread
+    texts = ensure_parallelism(df.select(id_col, text_col), heavy=True).select(
+        F.col(id_col), grams(F.col(text_col)).alias("grams")
+    )
     out = (
         pairs.join(texts.withColumnRenamed(id_col, "id_a").withColumnRenamed("grams", "grams_a"), "id_a")
         .join(texts.withColumnRenamed(id_col, "id_b").withColumnRenamed("grams", "grams_b"), "id_b")
