@@ -1157,9 +1157,10 @@ def _zigzag_jitter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_simplify_rdp(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fused simplify+fold pUDF: the previous four F.aggregate interpreted
     # lambdas dominated the query (sandbox-measured ~100× per-element cost)
+    from geo_spark.operators.dedup import ensure_parallelism
     from geo_spark.operators.scalar import simplify_stats
 
-    df = _zigzag_jitter(spark, sf_dir)
+    df = ensure_parallelism(_zigzag_jitter(spark, sf_dir), heavy=True)
     szz = simplify_stats(F.col("zigzag"), 1.0, "rdp")
     sjt = simplify_stats(F.col("jitter"), 1.0, "rdp")
     return df.select(
@@ -1173,9 +1174,10 @@ def _q_simplify_rdp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simplify_vw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_spark.operators.dedup import ensure_parallelism
     from geo_spark.operators.scalar import simplify_stats
 
-    df = _zigzag_jitter(spark, sf_dir)
+    df = ensure_parallelism(_zigzag_jitter(spark, sf_dir), heavy=True)
     szz = simplify_stats(F.col("zigzag"), 1.0, "vw")
     sjt = simplify_stats(F.col("jitter"), 1.0, "vw")
     return df.select(
@@ -1509,9 +1511,10 @@ def _q_hausdorff_frechet(spark: SparkSession, sf_dir: str) -> DataFrame:
     # discrete Fréchet (frechet_distance.rs:13) of a zigzag vs its integer
     # translate is exactly |t| (every coupling starts at (a0,b0));
     # Hausdorff (hausdorff_distance.rs:14) is brute-forced by the oracle
+    from geo_spark.operators.dedup import ensure_parallelism
     from geo_spark.operators.scalar import frechet, hausdorff
 
-    df = _docs(spark, sf_dir).selectExpr(
+    df = ensure_parallelism(_docs(spark, sf_dir), heavy=True).selectExpr(
         "doc_id",
         "5 + doc_id % 5 AS m",
         "CAST(4 + doc_id % 5 AS DOUBLE) AS amp",
@@ -1563,9 +1566,10 @@ def _q_geometry_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Euclidean geometry-pair distance (metric_spaces/euclidean.rs) across
     # kind pairs: polygon–polygon, point–polygon, line–line — all gaps are
     # closed-form functions of integer offsets
+    from geo_spark.operators.dedup import ensure_parallelism
     from geo_spark.operators.scalar import geometry_distance_cols
 
-    df = _docs(spark, sf_dir).selectExpr(
+    df = ensure_parallelism(_docs(spark, sf_dir), heavy=True).selectExpr(
         "doc_id",
         "doc_id % 3 AS kind_sel",
         "CAST(3 + doc_id % 5 AS DOUBLE) AS dx",
