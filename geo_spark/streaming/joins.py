@@ -111,16 +111,17 @@ def run_events_enrich_available_now(
     path = as_stream_dir(events_path)
     schema = spark.read.parquet(path).schema
 
-    def src():
-        s = spark.readStream.schema(schema).parquet(path)
-        # watermarks need TIMESTAMP (LTZ); the events table stores NTZ.
-        # Both join sides shift identically, so the validity join is
-        # timezone-invariant.
-        return s.withColumn("ts", F.col("ts").cast("timestamp"))
-
-    fact = src().filter(F.col("event_type") != "signup")
+    # ONE file source feeds both join sides (stream self-join): two separate
+    # sources would each scan the parquet and track offsets independently,
+    # doubling the per-batch read. Watermarks need TIMESTAMP (LTZ); the
+    # events table stores NTZ. Both join sides shift identically, so the
+    # validity join is timezone-invariant.
+    src = spark.readStream.schema(schema).parquet(path).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    fact = src.filter(F.col("event_type") != "signup")
     dim = (
-        src()
+        src
         .filter(F.col("event_type") == "signup")
         .select(
             "user_id",
