@@ -277,9 +277,16 @@ def dbscan(
     )
     keys = labeled.filter("label >= 0").select("cell", "label").distinct()
 
-    n_edges = edges.limit(driver_merge_threshold + 1).count() if driver_merge_threshold > 0 else 1
-    if driver_merge_threshold > 0 and n_edges <= driver_merge_threshold:
-        canon_df = _canon_driver(edges.collect(), keys.collect(), spark)
+    # one job probes AND fetches: limit(thr+1).collect() returns the entire
+    # edge set whenever it is within the threshold (the old count-then-
+    # collect pair paid a second scheduling wave for the same rows)
+    edge_rows = (
+        edges.limit(driver_merge_threshold + 1).collect()
+        if driver_merge_threshold > 0
+        else None
+    )
+    if edge_rows is not None and len(edge_rows) <= driver_merge_threshold:
+        canon_df = _canon_driver(edge_rows, keys.collect(), spark)
         if canon_df is not None:
             with_gid = labeled.join(F.broadcast(canon_df), ["cell", "label"], "left")
         else:

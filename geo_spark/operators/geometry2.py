@@ -202,18 +202,26 @@ def unary_union_rings(rings: Column) -> Column:
 
     @F.pandas_udf("struct<n_pieces:int,area:double>")
     def udf(arrs: pd.Series) -> pd.DataFrame:
+        from geo_spark.operators.scalar import _PayloadMemo
+
+        memo = _PayloadMemo()
         ns, areas = [], []
         for rings_row in arrs:
             if rings_row is None:
                 rings_row = []
             polys = [(_to_np(r), []) for r in rings_row]
-            merged = unary_union(polys)
-            total = 0.0
-            for ext, holes in merged:
-                total += abs(ring_signed_area(np.asarray(ext, dtype=np.float64)))
-                for h in holes:
-                    total -= abs(ring_signed_area(np.asarray(h, dtype=np.float64)))
-            ns.append(len(merged))
+
+            def compute():
+                merged = unary_union(polys)
+                total = 0.0
+                for ext, holes in merged:
+                    total += abs(ring_signed_area(np.asarray(ext, dtype=np.float64)))
+                    for h in holes:
+                        total -= abs(ring_signed_area(np.asarray(h, dtype=np.float64)))
+                return len(merged), total
+
+            n, total = memo.get(_PayloadMemo.ring_key([p[0] for p in polys]), compute)
+            ns.append(n)
             areas.append(total)
         return pd.DataFrame({"n_pieces": ns, "area": areas})
 
@@ -234,18 +242,26 @@ def delaunay_stitch_stats(coords: Column) -> Column:
 
     @F.pandas_udf("struct<n_tri:int,n_pieces:int,area:double>")
     def udf(arrs: pd.Series) -> pd.DataFrame:
+        from geo_spark.operators.scalar import _PayloadMemo
+
+        memo = _PayloadMemo()
         nt, npc, area = [], [], []
         for arr in arrs:
             pts = _to_np(arr)
-            tris = delaunay(pts)
-            stitched = stitch_triangles([pts[list(t)] for t in tris])
-            total = 0.0
-            for ext, holes in stitched:
-                total += abs(ring_signed_area(np.asarray(ext, dtype=np.float64)))
-                for h in holes:
-                    total -= abs(ring_signed_area(np.asarray(h, dtype=np.float64)))
-            nt.append(len(tris))
-            npc.append(len(stitched))
+
+            def compute():
+                tris = delaunay(pts)
+                stitched = stitch_triangles([pts[list(t)] for t in tris])
+                total = 0.0
+                for ext, holes in stitched:
+                    total += abs(ring_signed_area(np.asarray(ext, dtype=np.float64)))
+                    for h in holes:
+                        total -= abs(ring_signed_area(np.asarray(h, dtype=np.float64)))
+                return len(tris), len(stitched), total
+
+            n_tri, n_pc, total = memo.get(_PayloadMemo.ring_key([pts]), compute)
+            nt.append(n_tri)
+            npc.append(n_pc)
             area.append(total)
         return pd.DataFrame({"n_tri": nt, "n_pieces": npc, "area": area})
 
@@ -268,19 +284,26 @@ def buffer_polygon_stats(
 
     @F.pandas_udf("struct<n_pieces:int,area:double>")
     def udf(exts: pd.Series, ints: pd.Series) -> pd.DataFrame:
+        from geo_spark.operators.scalar import _PayloadMemo
+
+        memo = _PayloadMemo()
         ns, areas = [], []
         for i in range(len(exts)):
             holes = ints.iloc[i]
             holes = [] if holes is None else [_to_np(h) for h in holes]
-            out = buffer_polygon(
-                _to_np(exts.iloc[i]), holes, r, quad_segs, join, mitre_limit
-            )
-            total = 0.0
-            for ext, hs in out:
-                total += abs(ring_signed_area(np.asarray(ext, dtype=np.float64)))
-                for h in hs:
-                    total -= abs(ring_signed_area(np.asarray(h, dtype=np.float64)))
-            ns.append(len(out))
+            ext_np = _to_np(exts.iloc[i])
+
+            def compute():
+                out = buffer_polygon(ext_np, holes, r, quad_segs, join, mitre_limit)
+                total = 0.0
+                for ext, hs in out:
+                    total += abs(ring_signed_area(np.asarray(ext, dtype=np.float64)))
+                    for h in hs:
+                        total -= abs(ring_signed_area(np.asarray(h, dtype=np.float64)))
+                return len(out), total
+
+            n, total = memo.get(_PayloadMemo.ring_key([ext_np] + holes), compute)
+            ns.append(n)
             areas.append(total)
         return pd.DataFrame({"n_pieces": ns, "area": areas})
 
@@ -594,22 +617,28 @@ def polygonize_lines(lines: Column) -> Column:
     @F.pandas_udf(MULTIPOLY_TYPE)
     def udf(rows: pd.Series) -> pd.Series:
         from geo_spark.kernels.polygonize import polygonize
+        from geo_spark.operators.scalar import _PayloadMemo
 
+        memo = _PayloadMemo()
         out = []
         for chains in rows:
-            segs = []
             if chains is None:
                 chains = []
-            for member in chains:
-                seq = _to_np(member["pts"])
-                for i in range(len(seq) - 1):
-                    segs.append(
-                        (
-                            (float(seq[i, 0]), float(seq[i, 1])),
-                            (float(seq[i + 1, 0]), float(seq[i + 1, 1])),
+            seqs = [_to_np(member["pts"]) for member in chains]
+
+            def compute():
+                segs = []
+                for seq in seqs:
+                    for i in range(len(seq) - 1):
+                        segs.append(
+                            (
+                                (float(seq[i, 0]), float(seq[i, 1])),
+                                (float(seq[i + 1, 0]), float(seq[i + 1, 1])),
+                            )
                         )
-                    )
-            out.append(_result_to_rows(polygonize(segs)))
+                return _result_to_rows(polygonize(segs))
+
+            out.append(memo.get(_PayloadMemo.ring_key(seqs), compute))
         return pd.Series(out)
 
     # ragged array<array<struct>> crashes the Arrow input converter in this
@@ -625,20 +654,27 @@ def spade_triangulation_stats(exterior: Column, interiors: Column, mode: str) ->
     @F.pandas_udf("struct<n_tri:int,area:double>")
     def udf(ext: pd.Series, hol: pd.Series) -> pd.DataFrame:
         from geo_spark.kernels.triangulate import spade_triangulation
+        from geo_spark.operators.scalar import _PayloadMemo
 
+        memo = _PayloadMemo()
         ns, areas = [], []
         for i in range(len(ext)):
             hs = hol.iloc[i]
             rings = [_to_np(ext.iloc[i])] + ([] if hs is None else [_to_np(h) for h in hs])
-            pts, tris = spade_triangulation(rings, mode)
-            tot = 0.0
-            for a, b, c in tris:
-                pa, pb, pc = pts[a], pts[b], pts[c]
-                tot += abs(
-                    (pb[0] - pa[0]) * (pc[1] - pa[1])
-                    - (pb[1] - pa[1]) * (pc[0] - pa[0])
-                ) / 2.0
-            ns.append(len(tris))
+
+            def compute():
+                pts, tris = spade_triangulation(rings, mode)
+                tot = 0.0
+                for a, b, c in tris:
+                    pa, pb, pc = pts[a], pts[b], pts[c]
+                    tot += abs(
+                        (pb[0] - pa[0]) * (pc[1] - pa[1])
+                        - (pb[1] - pa[1]) * (pc[0] - pa[0])
+                    ) / 2.0
+                return len(tris), tot
+
+            n, tot = memo.get(_PayloadMemo.ring_key(rings), compute)
+            ns.append(n)
             areas.append(tot)
         return pd.DataFrame({"n_tri": ns, "area": areas})
 

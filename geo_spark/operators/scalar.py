@@ -33,6 +33,34 @@ def _to_rows(coords: np.ndarray):
     return [{"x": float(x), "y": float(y)} for x, y in coords]
 
 
+class _PayloadMemo:
+    """Per-batch dedup of identical geometry payloads before an expensive
+    kernel (dictionary-style execution). Enriched tables routinely repeat
+    one geometry across many rows (a polygon joined to every record it
+    covers); the kernels guarded by this cost ≥ 1 ms/row while the bytes
+    key costs ~1 µs/row, so distinct-payload batches pay noise and
+    repeated-payload batches pay the kernel once per distinct geometry.
+    Scoped to one Arrow batch — nothing persists across batches or runs."""
+
+    __slots__ = ("_d",)
+
+    def __init__(self):
+        self._d = {}
+
+    @staticmethod
+    def ring_key(rings) -> tuple:
+        """Hashable key for a sequence of (n_i, 2) float arrays."""
+        return tuple(r.tobytes() for r in rings)
+
+    def get(self, key, compute):
+        d = self._d
+        if key in d:
+            return d[key]
+        v = compute()
+        d[key] = v
+        return v
+
+
 # ---------------------------------------------------------------------------
 # Arrow-native coords marshalling.
 #

@@ -69,3 +69,48 @@ def test_voronoi_group_operator(spark):
     for r in got[:6]:
         ring = np.asarray([(c["x"], c["y"]) for c in r["cell_ring"]])
         assert ring_position([r["lon"]], [r["lat"]], ring)[0] >= 0
+
+
+def test_payload_memo_repeated_and_distinct_rows(spark):
+    # Round-6: heavy geometry UDFs dedup identical payloads per batch
+    # (_PayloadMemo). Repeated and distinct rows must give exactly the
+    # per-row kernel results.
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from geo_spark.kernels.area import ring_signed_area
+    from geo_spark.kernels.boolops import unary_union
+    from geo_spark.operators.geometry2 import unary_union_rings
+
+    def ring(x0, y0, s):
+        return [
+            {"x": float(x0), "y": float(y0)},
+            {"x": float(x0 + s), "y": float(y0)},
+            {"x": float(x0 + s), "y": float(y0 + s)},
+            {"x": float(x0), "y": float(y0 + s)},
+            {"x": float(x0), "y": float(y0)},
+        ]
+
+    rows = []
+    for i in range(40):
+        k = i % 3  # heavy repetition
+        rows.append((i, [ring(0, 0, 3 + k), ring(2, 0, 3)]))
+    rows.append((100, [ring(50, 50, 1)]))  # unique payload
+    df = spark.createDataFrame(
+        rows, "id long, rings array<array<struct<x:double,y:double>>>"
+    )
+    got = {
+        r["id"]: (r["u"]["n_pieces"], r["u"]["area"])
+        for r in df.select("id", unary_union_rings(F.col("rings")).alias("u")).collect()
+    }
+    for rid, rings_row in rows:
+        polys = [
+            (np.asarray([(c["x"], c["y"]) for c in rr], dtype=np.float64), [])
+            for rr in rings_row
+        ]
+        merged = unary_union(polys)
+        area = sum(
+            abs(ring_signed_area(np.asarray(ext, dtype=np.float64))) for ext, _ in merged
+        )
+        assert got[rid][0] == len(merged)
+        assert abs(got[rid][1] - area) < 1e-9
