@@ -429,6 +429,21 @@ def voronoi_distributed(
         .collect()
     )
     n = sum(r["cnt"] for r in aggs)
+    # Grouped middle route: when every group individually fits the driver
+    # threshold (but the total does not), one applyInPandas task per group
+    # runs the local kernel — groups in parallel across executors, no tile
+    # machinery, same rings (voronoi_of_group IS the parity reference).
+    # Only taken for per-group default clip rects, which the kernel
+    # reproduces bit-identically from the same bbox+10% formula.
+    if (
+        driver_site_threshold > 0
+        and group_col is not None
+        and clip_rect is None
+        and max(r["cnt"] for r in aggs) <= driver_site_threshold
+    ):
+        return voronoi_of_group(
+            s, group_col=gcol, lon_col=lon_col, lat_col=lat_col, id_col=id_col
+        )
     rects = {}
     xmin = min(r["x0"] for r in aggs); xmax = max(r["x1"] for r in aggs)
     ymin = min(r["y0"] for r in aggs); ymax = max(r["y1"] for r in aggs)
