@@ -24,9 +24,24 @@ def get_spark(
     master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 8)
+    driver_mem = os.environ.get("SPARK_DRIVER_MEMORY", "12g")
+    # Pin and pre-fault the driver heap (-Xms=-Xmx + AlwaysPreTouch): the
+    # production-standard JVM setting (executors pin their heap the same
+    # way). Without it, first-touch page faults spread across the heap as
+    # G1 cycles through regions; on this kernel that manifests as
+    # multi-second whole-machine sys-time storms (~90% system CPU, all
+    # cores spinning in mmap paths) hitting queries at random — measured
+    # 5-30x inflation of individual bench samples. Pre-touching moves that
+    # cost to one untimed session startup (~1.7 s/GB here, hence the 12g
+    # default — far above the measured working set; override with
+    # SPARK_DRIVER_MEMORY for larger driver-side state).
+    driver_java_opts = os.environ.get(
+        "SPARK_DRIVER_JAVA_OPTIONS", f"-Xms{driver_mem} -XX:+AlwaysPreTouch"
+    )
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        .config("spark.driver.extraJavaOptions", driver_java_opts)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -39,7 +54,7 @@ def get_spark(
         # medium-sized bench inputs (default 128 MB starves local[32])
         .config("spark.sql.files.maxPartitionBytes", "33554432")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.driver.memory", driver_mem)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
