@@ -55,6 +55,34 @@ class _StatePartitions:
             self.spark.conf.unset("spark.sql.shuffle.partitions")
 
 
+class _NoDataBatches:
+    """Temporarily disable the trailing no-data micro-batch while an
+    ``availableNow`` query runs. That batch exists to advance the watermark
+    so APPEND-mode aggregations can finalize; none of this package's
+    streaming operators need it — the inner interval join emits on match,
+    ``dropDuplicatesWithinWatermark`` emits each first-seen row in its data
+    batch, and the ``NoTimeout`` stateful sessionizer emits everything
+    (including the in-progress tail) inside data batches. The skipped batch
+    would only evict state that query termination discards anyway; skipping
+    it removes a fixed ~0.6 s per run (state-store reload + commit + plan)
+    without changing a single output row (oracle-gated)."""
+
+    _KEY = "spark.sql.streaming.noDataMicroBatches.enabled"
+
+    def __init__(self, spark):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get(self._KEY, None)
+        self.spark.conf.set(self._KEY, "false")
+
+    def __exit__(self, *exc):
+        if self.prev is not None:
+            self.spark.conf.set(self._KEY, self.prev)
+        else:
+            self.spark.conf.unset(self._KEY)
+
+
 def streaming_dedup_hashes(
     stream: DataFrame,
     text_col: str = "text",
@@ -94,7 +122,7 @@ def run_streaming_dedup_available_now(
             + F.make_interval(secs=(F.col("doc_id") % 3600).cast("int")),
         )
     out = streaming_dedup_hashes(stream)
-    with _StatePartitions(spark, state_partitions):
+    with _StatePartitions(spark, state_partitions), _NoDataBatches(spark):
         q = (
             out.writeStream.format("memory")
             .queryName(sink_name)
@@ -102,7 +130,7 @@ def run_streaming_dedup_available_now(
             .trigger(availableNow=True)
             .start()
         )
-    q.awaitTermination()
+        q.awaitTermination()
     # cross-batch duplicates beyond the watermark horizon are legitimate
     # stream semantics; the driver-query surface distinct-ifies
     return spark.table(sink_name).distinct()

@@ -137,9 +137,9 @@ def run_events_enrich_available_now(
     # fixed at the query's FIRST start; a bounded count keeps the
     # state-store init cost proportional to the data, not the session's
     # batch-shuffle setting (restore the session conf right after start)
-    from geo_spark.streaming.dedup import _StatePartitions
+    from geo_spark.streaming.dedup import _NoDataBatches, _StatePartitions
 
-    with _StatePartitions(spark, state_partitions):
+    with _StatePartitions(spark, state_partitions), _NoDataBatches(spark):
         q = (
             joined.writeStream.format("memory")
             .queryName(sink_name)
@@ -147,5 +147,5 @@ def run_events_enrich_available_now(
             .trigger(availableNow=True)
             .start()
         )
-    q.awaitTermination()
+        q.awaitTermination()
     return spark.table(sink_name)

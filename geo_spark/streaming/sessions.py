@@ -107,8 +107,8 @@ def run_sessionize_available_now(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(events_path)
     out = sessionize_stateful(stream, gap_sec)
-    from geo_spark.streaming.dedup import _StatePartitions
-    with _StatePartitions(spark, state_partitions):
+    from geo_spark.streaming.dedup import _NoDataBatches, _StatePartitions
+    with _StatePartitions(spark, state_partitions), _NoDataBatches(spark):
         q = (
             out.writeStream.format("memory")
             .queryName(sink_name)
@@ -116,7 +116,7 @@ def run_sessionize_available_now(
             .trigger(availableNow=True)
             .start()
         )
-    q.awaitTermination()
+        q.awaitTermination()
     sunk = spark.table(sink_name)
     w = Window.partitionBy("user_id", "session_idx").orderBy(F.col("n_events").desc())
     return (
