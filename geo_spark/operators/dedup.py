@@ -67,6 +67,29 @@ def _input_bytes(df: DataFrame) -> int | None:
     return total
 
 
+_SHUFFLE_NODE_RE = None
+
+
+def _plan_has_shuffle(df: DataFrame) -> bool:
+    """True when the optimized logical plan contains an exchange-inducing
+    operator (join/aggregate/window/sort/repartition/distinct). Driver-side
+    string probe only — never runs a job. Conservative on failure."""
+    global _SHUFFLE_NODE_RE
+    import re
+
+    if _SHUFFLE_NODE_RE is None:
+        _SHUFFLE_NODE_RE = re.compile(
+            r"^\s*[+:-]*\s*'?(Join|Aggregate|Window|Sort|Repartition|"
+            r"RepartitionByExpression|Rebalance|Deduplicate|Distinct|Intersect|Except)\b",
+            re.M,
+        )
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return True
+    return bool(_SHUFFLE_NODE_RE.search(plan))
+
+
 def ensure_parallelism(
     df: DataFrame, min_parts: int | None = None, *, heavy: bool = False
 ) -> DataFrame:
@@ -98,6 +121,17 @@ def ensure_parallelism(
         if nbytes is None:
             return df
         target = min(hw, max(1, nbytes // _BYTES_PER_PARTITION))
+    # Partition-count probe vs shuffle plans: with AQE on,
+    # ``df.rdd.getNumPartitions()`` on a plan containing exchanges EXECUTES
+    # every upstream stage to finalize the adaptive plan (measured: a full
+    # extra run of the input subtree per probe). Plans that already shuffle
+    # are left untouched — their stages inherit spark.sql.shuffle.partitions
+    # (cluster-sized), and an extra repartition measurably hurts (A/B on
+    # dedup_tiered: +0.7 s). Only shuffle-free plans (scans/projections,
+    # where the probe is a pure metadata read) keep the probe + never-shrink
+    # repartition.
+    if _plan_has_shuffle(df):
+        return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
