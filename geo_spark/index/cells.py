@@ -190,6 +190,127 @@ def cover_polygon(exterior, interiors=(), res: int = 8, classify: bool = True):
     return cells[keep], full[keep]
 
 
+def cover_polygons(polys, res: int):
+    """Batched ``cover_polygon`` over many polygons — one vectorized pass.
+
+    ``polys``: sequence of ``(exterior, interiors)`` with numpy-coercible
+    rings. Returns ``(cells, poly_idx, full)`` flat arrays (same
+    classification as ``cover_polygon``, parity-tested). The per-polygon
+    loop version costs ~60 small-array numpy dispatches per polygon
+    (~0.4 ms); at admin-table scale (hundreds to thousands of polygons,
+    rebuilt per query) that serial driver cost dominates the whole cover
+    build, so the bbox walk and the segment-bbox classification here run
+    over all polygons' cells at once. Only the exact center-position check
+    remains per-polygon (the winding kernel is per-polygon by nature), on
+    the contiguous cell slice of polygons that still have unclassified
+    cells.
+    """
+    from geo_spark.kernels.predicates import INSIDE, polygon_position
+
+    S = len(polys)
+    if S == 0:
+        return (
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=bool),
+        )
+    exts = [np.asarray(e, dtype=np.float64) for e, _ in polys]
+    holes_l = [
+        [np.asarray(h, dtype=np.float64) for h in (hs or [])] for _, hs in polys
+    ]
+    # per-polygon bboxes (ragged min/max via reduceat on the concatenation)
+    nv = np.asarray([len(e) for e in exts], dtype=np.int64)
+    allv = np.concatenate(exts, axis=0)
+    vstart = np.concatenate([[0], np.cumsum(nv)[:-1]])
+    bxmin = np.minimum.reduceat(allv[:, 0], vstart)
+    bxmax = np.maximum.reduceat(allv[:, 0], vstart)
+    bymin = np.minimum.reduceat(allv[:, 1], vstart)
+    bymax = np.maximum.reduceat(allv[:, 1], vstart)
+
+    n = np.int64(1) << np.int64(res)
+    ix0 = np.clip(np.floor((bxmin + 180.0) / 360.0 * n), 0, n - 1).astype(np.int64)
+    ix1 = np.clip(np.floor((bxmax + 180.0) / 360.0 * n), 0, n - 1).astype(np.int64)
+    iy0 = np.clip(np.floor((bymin + 90.0) / 180.0 * n), 0, n - 1).astype(np.int64)
+    iy1 = np.clip(np.floor((bymax + 90.0) / 180.0 * n), 0, n - 1).astype(np.int64)
+    nx = ix1 - ix0 + 1
+    ny = iy1 - iy0 + 1
+    c = nx * ny
+    ncells = int(c.sum())
+    cstart = np.concatenate([[0], np.cumsum(c)[:-1]])
+    pidx = np.repeat(np.arange(S, dtype=np.int64), c)
+    jloc = np.arange(ncells, dtype=np.int64) - cstart[pidx]
+    # cover_bbox uses meshgrid(indexing="ij"): x-major order
+    ix = ix0[pidx] + jloc // ny[pidx]
+    iy = iy0[pidx] + jloc % ny[pidx]
+
+    w = 360.0 / float(n)
+    h = 180.0 / float(n)
+    cxmin = -180.0 + ix * w
+    cymin = -90.0 + iy * h
+    cxmax = cxmin + w
+    cymax = cymin + h
+
+    # all ring segments of all polygons, tagged by polygon
+    seg_arrs = []
+    nseg = np.zeros(S, dtype=np.int64)
+    for i in range(S):
+        rings = [exts[i]] + holes_l[i]
+        segs = [
+            np.stack([r[:-1, 0], r[:-1, 1], r[1:, 0], r[1:, 1]], axis=1)
+            for r in rings
+            if len(r) >= 2
+        ]
+        if segs:
+            a = np.concatenate(segs, axis=0)
+            seg_arrs.append(a)
+            nseg[i] = len(a)
+    if seg_arrs:
+        sall = np.concatenate(seg_arrs, axis=0)
+        sxlo = np.minimum(sall[:, 0], sall[:, 2])
+        sxhi = np.maximum(sall[:, 0], sall[:, 2])
+        sylo = np.minimum(sall[:, 1], sall[:, 3])
+        syhi = np.maximum(sall[:, 1], sall[:, 3])
+    else:
+        sxlo = sxhi = sylo = syhi = np.empty(0, dtype=np.float64)
+    sstart = np.concatenate([[0], np.cumsum(nseg)[:-1]])
+
+    # (cell, segment-of-its-polygon) pair expansion
+    ns_per_cell = nseg[pidx]
+    npairs = int(ns_per_cell.sum())
+    pair_cell = np.repeat(np.arange(ncells, dtype=np.int64), ns_per_cell)
+    pstart = np.concatenate([[0], np.cumsum(ns_per_cell)[:-1]])
+    pair_loc = np.arange(npairs, dtype=np.int64) - np.repeat(pstart, ns_per_cell)
+    pair_seg = np.repeat(sstart[pidx], ns_per_cell) + pair_loc
+    hit = (
+        (sxlo[pair_seg] <= cxmax[pair_cell])
+        & (sxhi[pair_seg] >= cxmin[pair_cell])
+        & (sylo[pair_seg] <= cymax[pair_cell])
+        & (syhi[pair_seg] >= cymin[pair_cell])
+    )
+    seg_hits = np.zeros(ncells, dtype=bool)
+    if npairs:
+        seg_hits = np.bincount(pair_cell[hit], minlength=ncells) > 0
+
+    # exact center test only for cells with no segment hit (FULL vs DISJOINT)
+    inside = np.zeros(ncells, dtype=bool)
+    centers_x = cxmin + w / 2.0
+    centers_y = cymin + h / 2.0
+    for i in range(S):
+        lo, hi = int(cstart[i]), int(cstart[i] + c[i])
+        sl = slice(lo, hi)
+        todo = ~seg_hits[sl]
+        if not todo.any():
+            continue
+        idx = np.flatnonzero(todo) + lo
+        pos = polygon_position(centers_x[idx], centers_y[idx], exts[i], holes_l[i])
+        inside[idx] = pos == INSIDE
+
+    keep = seg_hits | inside
+    full = (~seg_hits) & inside
+    cells = _from_grid(ix[keep], iy[keep], res)
+    return cells, pidx[keep], full[keep]
+
+
 def neighbor_ring(cell: int, k: int) -> np.ndarray:
     """Cells at Chebyshev distance exactly ``k`` (the H3 'ring' analogue)."""
     res, ix, iy = cell_decode(np.asarray([cell]))

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from geo_spark.functions import bbox_contains_point, cell_encode_col
-from geo_spark.index.cells import cover_polygon, pick_cover_res
+from geo_spark.index.cells import cover_polygon, cover_polygons, pick_cover_res
 
 # executor-side cache: broadcast id → {polygon_id: (ext, holes)}
 _BC_CACHE: dict = {}
@@ -46,18 +46,32 @@ def _driver_cover_rows(poly_rows, res: int):
     """Cover rows from already-collected polygon rows — the small-side fast
     path (admin-boundary scale): the geometry is on the driver anyway for
     the broadcast refine, and a few hundred covers cost less than a Spark
-    job round-trip."""
-    rows = []
+    job round-trip. The cover itself is the batched vectorized build
+    (``cover_polygons``) — the per-polygon loop version cost ~0.4 ms/polygon
+    of serial driver time, which dominated every admin-scale PIP query."""
+    polys = []
     for r in poly_rows:
         ext = np.asarray([(c["x"], c["y"]) for c in r["exterior"]], dtype=np.float64)
         holes = [
             np.asarray([(c["x"], c["y"]) for c in ring], dtype=np.float64)
             for ring in (r["interiors"] or [])
         ]
-        cells, full = cover_polygon(ext, holes, res=res)
-        bb = (float(r["xmin"]), float(r["ymin"]), float(r["xmax"]), float(r["ymax"]))
-        for c, f in zip(cells.tolist(), full.tolist()):
-            rows.append((int(c), int(r["polygon_id"]), bool(f)) + bb)
+        polys.append((ext, holes))
+    cells, pidx, fulls = cover_polygons(polys, res)
+    rows = []
+    for c, i, f in zip(cells.tolist(), pidx.tolist(), fulls.tolist()):
+        r = poly_rows[i]
+        rows.append(
+            (
+                int(c),
+                int(r["polygon_id"]),
+                bool(f),
+                float(r["xmin"]),
+                float(r["ymin"]),
+                float(r["xmax"]),
+                float(r["ymax"]),
+            )
+        )
     return rows
 
 

@@ -160,3 +160,33 @@ def test_sql_refine_boundary_and_holes(spark):
     assert got["in_hole"] == -1
     assert got["on_hole_edge"] == 0
     assert got["on_outer_edge"] == 0
+
+
+def test_cover_polygons_batch_matches_per_polygon():
+    # the driver-side cover build now runs the batched vectorized
+    # cover_polygons; it must classify exactly like the per-polygon kernel
+    from geo_spark.index.cells import cover_polygon, cover_polygons
+
+    rng = np.random.RandomState(7)
+    polys = []
+    for _ in range(60):
+        k = rng.randint(3, 10)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+        r = rng.uniform(0.4, 4.0, k)
+        cx, cy = rng.uniform(-160, 160), rng.uniform(-75, 75)
+        ext = np.stack([cx + r * np.cos(ang), cy + r * np.sin(ang)], axis=1)
+        ext = np.vstack([ext, ext[:1]])
+        holes = []
+        if k >= 6:
+            h = ext[:-1] * 0.2 + np.asarray([[cx, cy]]) * 0.8
+            holes = [np.vstack([h[::-1], h[-1:][::-1]])[: len(h) + 1]]
+            holes = [np.vstack([holes[0], holes[0][:1]])]
+        polys.append((ext, holes))
+    for res in (5, 8):
+        cells, pidx, full = cover_polygons(polys, res)
+        for i, (e, hs) in enumerate(polys):
+            cc, ff = cover_polygon(e, hs, res=res)
+            m = pidx == i
+            o1, o2 = np.argsort(cells[m]), np.argsort(cc)
+            assert np.array_equal(cells[m][o1], cc[o2]), f"cells differ poly {i} res {res}"
+            assert np.array_equal(full[m][o1], ff[o2]), f"full flags differ poly {i} res {res}"
