@@ -244,6 +244,10 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     while pos + 4 <= len(buf):
         if buf[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        # code — skip them so the byte after the last 0xFF is the code
+        while pos + 1 < len(buf) and buf[pos + 1] == 0xFF:
+            pos += 1
         marker = buf[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

@@ -177,11 +177,16 @@ def delaunay(points: np.ndarray) -> list[tuple[int, int, int]]:
 
     for i in range(n):
         px, py = all_pts[i]
-        dx = ccx[:m] - px
-        dy = ccy[:m] - py
-        d2 = dx * dx + dy * dy
-        scale = d2 + rr2[:m]
-        diff = d2 - rr2[:m]
+        with np.errstate(invalid="ignore"):
+            # degenerate triangles carry inf circumdata; inf-inf NaNs are
+            # INTENDED here (NaN comparisons land the triangle in the
+            # border class below → exact incircle). Scoped errstate keeps
+            # genuinely unexpected NaN warnings elsewhere visible.
+            dx = ccx[:m] - px
+            dy = ccy[:m] - py
+            d2 = dx * dx + dy * dy
+            scale = d2 + rr2[:m]
+            diff = d2 - rr2[:m]
         # Per-triangle error band. The float circumcenter carries an
         # absolute error |Δcc| ≲ dcc (cancellation-prone for slivers), but
         # it CANCELS in the difference: δ(d²-r²) = 2·Δcc·(a-p), so the
@@ -193,16 +198,17 @@ def delaunay(points: np.ndarray) -> list[tuple[int, int, int]]:
         # 1e-9·scale band both MISSED sliver misclassification — the round-5
         # hull under-coverage bug — and flooded the exact path for
         # super-adjacent circles once the frame grew to 1e12×span.)
-        pax = vax[:m] - px
-        pay = vay[:m] - py
-        absdiff = np.abs(diff)
-        rem = absdiff - 32.0 * _EPS * scale
-        b2 = (64.0 * dcc[:m] * dcc[:m]) * (pax * pax + pay * pay)
-        # sqrt-free band check: outside-the-band iff rem > 0 AND rem² > B².
-        # The complement keeps nan (inf-inf on degenerate triangles) and inf
-        # bounds in the border class → exact test, as before.
-        border = ~((rem > 0.0) & (rem * rem > b2))
-        inside = (diff < 0.0) & ~border
+        with np.errstate(invalid="ignore"):
+            pax = vax[:m] - px
+            pay = vay[:m] - py
+            absdiff = np.abs(diff)
+            rem = absdiff - 32.0 * _EPS * scale
+            b2 = (64.0 * dcc[:m] * dcc[:m]) * (pax * pax + pay * pay)
+            # sqrt-free band check: outside-the-band iff rem > 0 AND rem² > B².
+            # The complement keeps nan (inf-inf on degenerate triangles) and inf
+            # bounds in the border class → exact test, as before.
+            border = ~((rem > 0.0) & (rem * rem > b2))
+            inside = (diff < 0.0) & ~border
         bad_idx = list(np.flatnonzero(inside))
         border_idx = np.flatnonzero(border)
         for j in border_idx:

@@ -151,6 +151,20 @@ def distributed_unary_union(
 
     from geo_spark.kernels.boolops import unary_union
 
+    # Final-stage guard: the driver fold is for the tiny cross-cell residue
+    # only. An adversarial input (every piece crossing cells at every merge
+    # level) would otherwise collect the whole table; fail loudly instead
+    # of silently OOMing the driver. The checkpoint makes the count and the
+    # collect read the same materialization (no double compute).
+    max_driver_pieces = 100_000
+    level = level.localCheckpoint(eager=True)
+    n_left = level.count()
+    if n_left > max_driver_pieces:
+        raise RuntimeError(
+            f"distributed_unary_union: {n_left} pieces survive "
+            f"{merge_levels} merge levels (> {max_driver_pieces}); raise "
+            "merge_levels/res so the cross-cell residue fits the driver fold"
+        )
     local = [
         _poly_to_np({"exterior": r["exterior"], "interiors": r["interiors"]})
         for r in level.collect()

@@ -110,8 +110,10 @@ def _peel_dangles(seg: DataFrame, max_rounds: int = 64) -> DataFrame:
     """
     seg = seg.localCheckpoint(eager=True)
     n = seg.count()
+    converged = False
     for _ in range(max_rounds):
         if n == 0:
+            converged = True
             break
         ends = seg.select(
             F.col("ax").alias("vx"), F.col("ay").alias("vy")
@@ -135,8 +137,19 @@ def _peel_dangles(seg: DataFrame, max_rounds: int = 64) -> DataFrame:
         n2 = nxt.count()
         seg = nxt
         if n2 == n:
+            converged = True
             break
         n = n2
+    if not converged:
+        # a dangle chain longer than ~2*max_rounds links would leave
+        # residual degree-1 edges whose twin-bounce successors inject
+        # zero-area spikes into face rings (diverging from JTS Polygonizer
+        # dangle semantics) — fail loudly instead of mislabeling
+        raise RuntimeError(
+            f"_peel_dangles did not converge after {max_rounds} rounds "
+            f"({n} segments left); raise max_rounds for inputs with very "
+            "long dangle chains"
+        )
     return seg
 
 

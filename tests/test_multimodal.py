@@ -270,3 +270,32 @@ def test_resize_media_box_and_nearest(spark):
     # non-integer ratio -> nearest path
     out2 = resize_media(df.filter("url = 'png'"), width=5, height=7).collect()[0]
     assert decode_png(bytes(out2["content"])).shape == (7, 5, 3)
+
+
+def test_jpeg_fill_bytes_before_markers():
+    # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a marker
+    # code; the parser must skip them (previously misread the fill byte as
+    # the marker and misparsed the segment length)
+    import numpy as np
+
+    from geo_spark.kernels.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.zeros((16, 16), dtype=np.uint8)
+    img[:8, :8] = 128
+    buf = encode_jpeg(img, quality=50)
+    # insert fill bytes before every marker except the entropy-coded-data
+    # region (markers after SOS would need bitstream awareness; pad the
+    # header markers, which is where real encoders emit fill bytes)
+    out = bytearray(buf[:2])  # SOI must open the stream unpadded
+    i = 2
+    sos_seen = False
+    while i < len(buf):
+        if not sos_seen and buf[i] == 0xFF and i + 1 < len(buf) and buf[i + 1] != 0x00:
+            out += b"\xff\xff"  # two fill bytes, then the real ff+code
+            if buf[i + 1] == 0xDA:
+                sos_seen = True
+        out.append(buf[i])
+        i += 1
+    padded = bytes(out)
+    assert padded != buf
+    assert np.array_equal(decode_jpeg(padded), decode_jpeg(buf))
