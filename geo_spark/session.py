@@ -24,7 +24,7 @@ def get_spark(
     master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 8)
-    driver_mem = os.environ.get("SPARK_DRIVER_MEMORY", "12g")
+    driver_mem = os.environ.get("SPARK_DRIVER_MEMORY", "20g")
     # Pin and pre-fault the driver heap (-Xms=-Xmx + AlwaysPreTouch): the
     # production-standard JVM setting (executors pin their heap the same
     # way). Without it, first-touch page faults spread across the heap as
@@ -32,11 +32,14 @@ def get_spark(
     # multi-second whole-machine sys-time storms (~90% system CPU, all
     # cores spinning in mmap paths) hitting queries at random — measured
     # 5-30x inflation of individual bench samples. Pre-touching moves that
-    # cost to one untimed session startup (~1.7 s/GB here, hence the 12g
-    # default — far above the measured working set; override with
-    # SPARK_DRIVER_MEMORY for larger driver-side state).
+    # cost to one untimed session startup (~1.7 s/GB here; the 20g default
+    # clears a 10x-scale bench mirror without GCLocker allocation stalls —
+    # override with SPARK_DRIVER_MEMORY for larger driver-side state).
+    # -Xlog:...:stderr: JVM unified-logging warnings default to STDOUT and
+    # would corrupt the bench CLI's one-JSON-line stdout contract.
     driver_java_opts = os.environ.get(
-        "SPARK_DRIVER_JAVA_OPTIONS", f"-Xms{driver_mem} -XX:+AlwaysPreTouch"
+        "SPARK_DRIVER_JAVA_OPTIONS",
+        f"-Xms{driver_mem} -XX:+AlwaysPreTouch -Xlog:all=warning:stderr",
     )
     builder = (
         SparkSession.builder.master(master)
